@@ -1,0 +1,145 @@
+"""Model base classes.
+
+Parity: recbole/model/abstract_recommender.py — ``FairRecommender`` fixes the
+USER_ID/ITEM_ID/NEG_ITEM_ID fields, n_users/n_items, and the
+calculate_loss / predict / full_sort_predict contract (:86-104, :23-75).
+
+TPU-first redesign: models are **stateless descriptors**. Hyperparameters and
+dataset statistics are bound at construction (static, hashable by jit);
+learnable parameters live in an external pytree created by
+:meth:`init_params` and threaded through the pure methods:
+
+    params, state = model.init_params(rng)
+    (loss, new_state) = model.calculate_loss(params, state, batch, rng, sst_list)
+    scores = model.predict(params, state, batch, sst_list)
+    scores = model.full_sort_predict(params, state, batch, sst_list)
+
+``state`` carries non-gradient buffers (BatchNorm running stats). ``batch``
+is a dict of jnp arrays. ``sst_list`` is a static tuple of attribute names —
+jit caches one executable per distinct subset, mirroring the reference's
+per-epoch sst masking without host round-trips inside the step.
+
+``param_groups()`` maps adversarial group names ('filter', 'dis', ...) to
+top-level param-tree keys, which the trainers turn into optax masked
+optimizers (the analogue of the reference's per-optimizer param lists,
+trainer.py:1189-1236).
+"""
+
+from __future__ import annotations
+
+from logging import getLogger
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import InputType, ModelType, set_color
+
+
+def batch_weights(batch, like):
+    """Per-row validity weights: 1.0 for real rows, 0.0 for the padding rows
+    the trainer appends to reach a bucketed static batch shape. ``like`` is
+    any [B]-shaped array providing shape/dtype."""
+    w = batch.get("__weight__")
+    if w is None:
+        return jnp.ones_like(like, dtype=jnp.float32)
+    return w.astype(jnp.float32)
+
+
+def wmean(values, weights):
+    """Weighted mean that reduces exactly to .mean() when all weights are 1 —
+    keeps padded-batch losses identical to the reference's unpadded math."""
+    return jnp.sum(values * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
+class AbstractRecommender:
+    type = ModelType.GENERAL
+    input_type = InputType.POINTWISE
+
+    def __init__(self):
+        self.logger = getLogger()
+        self.other_parameter_name = []
+
+    # ---------------------------------------------------------- contract
+
+    def init_params(self, rng):
+        """Returns (params, state) pytrees."""
+        raise NotImplementedError
+
+    def calculate_loss(self, params, state, batch, rng=None, sst_list=None):
+        raise NotImplementedError
+
+    def predict(self, params, state, batch, sst_list=None):
+        raise NotImplementedError
+
+    def full_sort_predict(self, params, state, batch, sst_list=None):
+        raise NotImplementedError
+
+    def param_groups(self):
+        """Adversarial optimizer groups: mapping group → list of top-level
+        param keys. Default: everything in one group."""
+        return {}
+
+    # ------------------------------------------------------------- extras
+
+    def other_parameter(self):
+        return {key: getattr(self, key) for key in self.other_parameter_name}
+
+    def load_other_parameter(self, para):
+        if para is None:
+            return
+        for key, value in para.items():
+            setattr(self, key, value)
+
+    def count_parameters(self, params):
+        import jax
+
+        return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+    def __str__(self):
+        return set_color(self.__class__.__name__, "blue")
+
+
+class FairRecommender(AbstractRecommender):
+    """Base for fairness-aware models (reference :86-104)."""
+
+    type = ModelType.GENERAL
+
+    def __init__(self, config, dataset):
+        super().__init__()
+        self.USER_ID = config["USER_ID_FIELD"]
+        self.ITEM_ID = config["ITEM_ID_FIELD"]
+        self.NEG_ITEM_ID = config["NEG_PREFIX"] + self.ITEM_ID
+        self.POS_ITEM_ID = self.ITEM_ID
+        self.n_users = dataset.num(self.USER_ID)
+        self.n_items = dataset.num(self.ITEM_ID)
+        self.config = config
+
+    def calculate_dis_loss(self, params, state, batch, rng=None, sst_list=None):
+        """Discriminator objective for adversarial models."""
+        raise NotImplementedError
+
+    def get_sst_embed(self, params, state, user_data, sst_list=None):
+        """Export filtered user embeddings + attributes for offline attacker
+        evaluation (reference pfcn_mlp.py:224-232)."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------ helpers
+
+    @staticmethod
+    def _sst_code_map(dataset, sst_field):
+        """Global value→column mapping for a sensitive attribute.
+
+        The reference derives group columns per batch via
+        ``torch.unique(..., return_inverse=True)`` (focf.py:77); under jit
+        that is a dynamic shape, so the mapping is precomputed globally over
+        the user table: sorted non-PAD values → 0..k-1. Equivalent whenever a
+        batch contains every group (the per-batch and global sorted orders
+        then coincide).
+        """
+        feat = dataset.get_user_feature()
+        values = np.asarray(feat[sst_field])[1:]  # drop PAD row
+        uniq = np.unique(values)
+        lut = np.zeros(int(max(uniq.max(), 0)) + 1, dtype=np.int32)
+        for i, v in enumerate(uniq):
+            lut[int(v)] = i
+        return jnp.asarray(lut), len(uniq)

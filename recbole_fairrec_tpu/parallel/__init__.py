@@ -1,0 +1,3 @@
+from .mesh import batch_sharding, make_mesh, param_sharding, replicate, shard_params
+
+__all__ = ["batch_sharding", "make_mesh", "param_sharding", "replicate", "shard_params"]

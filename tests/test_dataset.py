@@ -1,0 +1,109 @@
+"""Dataset ETL tests: loading, filtering, k-core, remap, threshold labels,
+splitting (reference contract: recbole/data/dataset/dataset.py)."""
+
+import numpy as np
+import pytest
+
+from recbole_fairrec_tpu.config import Config
+from recbole_fairrec_tpu.data import Dataset, create_dataset, data_preparation
+
+
+def tiny_config(tiny_data_path, **kw):
+    cd = {
+        "data_path": str(tiny_data_path),
+        "load_col": {"inter": ["user_id", "item_id", "rating"], "user": ["user_id", "gender"]},
+        "save_dataset": False,
+        "checkpoint_dir": str(tiny_data_path) + "/saved",
+        **kw,
+    }
+    return Config(model="FOCF", dataset="tiny", config_dict=cd)
+
+
+def test_load_and_remap(tiny_data_path):
+    c = tiny_config(tiny_data_path)
+    ds = Dataset(c)
+    uids = np.asarray(ds.inter_feat["user_id"])
+    # PAD id 0 reserved; ids contiguous
+    assert uids.min() >= 1
+    assert ds.user_num == len(ds.field2id_token["user_id"])
+    assert ds.field2id_token["user_id"][0] == "[PAD]"
+    # user feat reindexed over full range
+    assert len(ds.user_feat) == ds.user_num
+
+
+def test_threshold_label(tiny_data_path):
+    c = tiny_config(tiny_data_path, threshold={"rating": 3.0})
+    ds = Dataset(c)
+    labels = np.asarray(ds.inter_feat["label"])
+    ratings = np.asarray(ds.inter_feat["rating"])
+    np.testing.assert_array_equal(labels, (ratings >= 3.0).astype(int))
+
+
+def test_kcore_filtering(tiny_data_path):
+    c = tiny_config(tiny_data_path, user_inter_num_interval="[5,inf)", item_inter_num_interval="[5,inf)")
+    ds = Dataset(c)
+    uids = np.asarray(ds.inter_feat["user_id"])
+    iids = np.asarray(ds.inter_feat["item_id"])
+    u_counts = np.bincount(uids)
+    i_counts = np.bincount(iids)
+    assert (u_counts[u_counts > 0] >= 5).all()
+    assert (i_counts[i_counts > 0] >= 5).all()
+
+
+def test_val_interval_filtering(tiny_data_path):
+    c = tiny_config(tiny_data_path, val_interval={"rating": "[4,inf)"})
+    ds = Dataset(c)
+    assert np.asarray(ds.inter_feat["rating"]).min() >= 4
+
+
+def test_split_grouped_by_user(tiny_data_path):
+    c = tiny_config(tiny_data_path)
+    ds = Dataset(c)
+    total = ds.inter_num
+    train, valid, test = ds.build()
+    assert len(train) + len(valid) + len(test) == total
+    # every valid/test user appears in train
+    train_users = set(np.asarray(train.inter_feat["user_id"]).tolist())
+    for part in (valid, test):
+        users = set(np.asarray(part.inter_feat["user_id"]).tolist())
+        assert users <= train_users
+    # RS [8,1,1]: train is the big part
+    assert len(train) > len(valid) and len(train) > len(test)
+
+
+def test_leave_one_out_split(tiny_data_path):
+    c = tiny_config(
+        tiny_data_path,
+        eval_args={"split": {"LS": "valid_and_test"}, "order": "RO", "group_by": "user", "mode": "uni100"},
+    )
+    ds = Dataset(c)
+    n_users_with_inter = len(set(np.asarray(ds.inter_feat["user_id"]).tolist()))
+    train, valid, test = ds.build()
+    # one left-out row per user per eval part (users with >=3 rows)
+    assert len(test) <= n_users_with_inter
+    assert len(valid) <= n_users_with_inter
+
+
+def test_history_matrix_and_inter_matrix(tiny_data_path):
+    c = tiny_config(tiny_data_path)
+    ds = Dataset(c)
+    mat = ds.inter_matrix(form="coo", value_field="rating")
+    assert mat.shape == (ds.user_num, ds.item_num)
+    assert mat.nnz == ds.inter_num
+    hist, vals, lens = ds.history_item_matrix()
+    assert hist.shape[0] == ds.user_num
+    assert lens.sum() == ds.inter_num
+
+
+def test_data_preparation_loaders(tiny_data_path):
+    c = tiny_config(tiny_data_path, threshold={"rating": 3.0})
+    ds = create_dataset(c)
+    train, valid, test = data_preparation(c, ds)
+    batch = next(iter(train))
+    assert "gender" in batch  # user features joined
+    inter, idx, pos_u, pos_i = next(iter(valid))
+    # uni100: each user's row block = positives + 100 negatives each
+    assert len(inter) % 101 == 0
+    # first user's block starts with that user's positives
+    k = int((pos_u == 0).sum())
+    assert (np.asarray(inter["item_id"])[:k] == pos_i[:k]).all()

@@ -1,0 +1,96 @@
+"""Sampler semantics tests (reference contract: recbole/sampler/sampler.py)."""
+
+import numpy as np
+import pytest
+
+from recbole_fairrec_tpu.config import Config
+from recbole_fairrec_tpu.data import Dataset, create_samplers
+from recbole_fairrec_tpu.sampler import AliasTable, Sampler
+
+
+def _built(tiny_data_path, **kw):
+    cd = {
+        "data_path": str(tiny_data_path),
+        "load_col": {"inter": ["user_id", "item_id", "rating"], "user": ["user_id", "gender"]},
+        "neg_sampling": {"uniform": 1},
+        **kw,
+    }
+    c = Config(model="FOCF", dataset="tiny", config_dict=cd)
+    ds = Dataset(c)
+    return c, ds, ds.build()
+
+
+def test_negatives_exclude_used(tiny_data_path):
+    c, ds, built = _built(tiny_data_path)
+    train_sampler, valid_sampler, test_sampler = create_samplers(c, ds, built)
+    train = built[0]
+    uids = np.asarray(train.inter_feat["user_id"])
+    iids = np.asarray(train.inter_feat["item_id"])
+    neg = train_sampler.sample_by_user_ids(uids, iids, 2)
+    assert len(neg) == 2 * len(uids)
+    assert neg.min() >= 1  # PAD never sampled
+    # no sampled negative may collide with any train positive of that user
+    used = set(zip(uids.tolist(), iids.tolist()))
+    tiled = np.tile(uids, 2)
+    for u, v in zip(tiled.tolist(), neg.tolist()):
+        assert (u, v) not in used
+
+
+def test_phase_accumulation(tiny_data_path):
+    c, ds, built = _built(tiny_data_path)
+    s = Sampler(["train", "valid", "test"], built, "uniform")
+    assert len(s.used_ids["train"]) <= len(s.used_ids["valid"]) <= len(s.used_ids["test"])
+    test_sampler = s.set_phase("test")
+    all_pairs = set()
+    for part in built:
+        uids = np.asarray(part.inter_feat["user_id"])
+        iids = np.asarray(part.inter_feat["item_id"])
+        all_pairs |= set(zip(uids.tolist(), iids.tolist()))
+    uids = np.asarray(built[2].inter_feat["user_id"])
+    iids = np.asarray(built[2].inter_feat["item_id"])
+    neg = test_sampler.sample_by_user_ids(uids, iids, 3)
+    tiled = np.tile(uids, 3)
+    for u, v in zip(tiled.tolist(), neg.tolist()):
+        assert (u, v) not in all_pairs
+
+
+def test_strided_output_layout(tiny_data_path):
+    """out[i + k*len] belongs to key i (reference sampler.py:145-158)."""
+    c, ds, built = _built(tiny_data_path)
+    s = Sampler(["train", "valid", "test"], built, "uniform").set_phase("train")
+    uids = np.asarray(built[0].inter_feat["user_id"])[:5]
+    neg = s.sample_by_key_ids(uids, 4)
+    assert neg.shape == (20,)
+
+
+def test_alias_table_distribution():
+    np.random.seed(0)
+    candidates = np.array([1] * 70 + [2] * 20 + [3] * 10)
+    table = AliasTable(candidates)
+    draws = table.sample(20000)
+    freq = np.bincount(draws, minlength=4)[1:4] / 20000
+    np.testing.assert_allclose(freq, [0.7, 0.2, 0.1], atol=0.02)
+
+
+def test_popularity_sampling(tiny_data_path):
+    c, ds, built = _built(tiny_data_path)
+    s = Sampler(["train", "valid", "test"], built, "popularity").set_phase("train")
+    uids = np.asarray(built[0].inter_feat["user_id"])
+    iids = np.asarray(built[0].inter_feat["item_id"])
+    neg = s.sample_by_user_ids(uids, iids, 1)
+    assert len(neg) == len(uids)
+
+
+def test_group_constrained_sampling(tiny_data_path):
+    """The latent fairness hooks: negatives restricted to the user's group."""
+    c, ds, built = _built(tiny_data_path)
+    s = Sampler(["train", "valid", "test"], built, "uniform").set_phase("train")
+    n_items = ds.item_num
+    s.user_group_label = np.arange(ds.user_num) % 2
+    s.item_group_label = np.arange(n_items) % 3  # labels 0,1,2; 2 = unconstrained
+    uids = np.asarray(built[0].inter_feat["user_id"])[:50]
+    iids = np.asarray(built[0].inter_feat["item_id"])[:50]
+    neg = s.sample_by_user_ids(uids, iids, 1)
+    for u, v in zip(uids.tolist(), neg.tolist()):
+        u_lab, i_lab = u % 2, v % 3
+        assert not ((u_lab == 0 and i_lab == 1) or (u_lab == 1 and i_lab == 0))
