@@ -93,7 +93,10 @@ def _coerce(value):
         return True
     if low == "false":
         return False
-    if low in ("none", "~", "null"):
+    # note: the bare string "none" stays a string — it is a legal value for
+    # e.g. filter_mode (reference coerces via eval(), where `none` NameErrors
+    # and falls back to the raw string)
+    if low in ("~", "null"):
         return None
     try:
         parsed = ast.literal_eval(value)

@@ -1,5 +1,8 @@
 from .trainer import AbstractTrainer, Trainer
 from .adversarial import (
+    FairGo_GCNTrainer,
+    FairGo_PMFTrainer,
+    FairGoTrainer,
     PFCN_BiasedMFTrainer,
     PFCN_DMFTrainer,
     PFCN_MLPTrainer,
@@ -10,6 +13,9 @@ from .adversarial import (
 __all__ = [
     "AbstractTrainer",
     "Trainer",
+    "FairGoTrainer",
+    "FairGo_PMFTrainer",
+    "FairGo_GCNTrainer",
     "PFCNTrainer",
     "PFCN_MLPTrainer",
     "PFCN_BiasedMFTrainer",

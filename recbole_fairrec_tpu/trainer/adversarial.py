@@ -242,6 +242,257 @@ class PFCNTrainer(Trainer):
                 pickle.dump(stored, f)
 
 
+class FairGoTrainer(Trainer):
+    """Two-stage pretrain → adversarial-finetune trainer (reference
+    :534-862)."""
+
+    def __init__(self, config, model):
+        super().__init__(config, model)
+        self.train_epoch_interval = config["train_epoch_interval"]
+        self.sst_num = len(config["sst_attr_list"])
+        self.sst_attrs = list(config["sst_attr_list"])
+        self.load_pretrain_weight = config["load_pretrain_weight"]
+
+        groups = model.param_groups()
+        self.tx_pretrain = self._masked_tx(groups["pretrain"])
+        self.tx_filter = self._masked_tx(groups["filter"])
+        self.tx_dis = self._masked_tx(groups["dis"])
+        self.opt_state_pretrain = self.tx_pretrain.init(self.params)
+        self.opt_state_filter = self.tx_filter.init(self.params)
+        self.opt_state_dis = self.tx_dis.init(self.params)
+
+        if config["pretrain_model_file_path"] is not None:
+            self.saved_pretrain_model_file = config["pretrain_model_file_path"]
+            with open(config["pretrain_model_file_path"], "rb") as f:
+                checkpoint = pickle.load(f)
+            self._load_params_from_checkpoint(checkpoint)
+            self.logger.info(
+                "Loading pretrain model structure and parameters from "
+                f'{config["pretrain_model_file_path"]}'
+            )
+            self.model.train_stage = "finetune"
+        elif self.load_pretrain_weight:
+            self.model.train_stage = "finetune"
+        else:
+            self.model.train_stage = "pretrain"
+            self.pretrain_epochs = config["pretrain_epochs"]
+
+        fname = "{}-{}_embed-[{}].pth".format(
+            config["model"], config["aggr_method"], "_".join(self.sst_attrs)
+        )
+        self.saved_sst_embed_file = os.path.join(self.checkpoint_dir, fname)
+
+    # ----------------------------------------------------------------- tags
+
+    def _tx_by_tag(self, tag):
+        return {
+            "pretrain": self.tx_pretrain,
+            "filter": self.tx_filter,
+            "dis": self.tx_dis,
+        }.get(tag, self.optimizer)
+
+    def _opt_state_by_tag(self, tag):
+        return {
+            "pretrain": self.opt_state_pretrain,
+            "filter": self.opt_state_filter,
+            "dis": self.opt_state_dis,
+        }.get(tag, self.opt_state)
+
+    def _set_opt_state_by_tag(self, tag, value):
+        if tag == "pretrain":
+            self.opt_state_pretrain = value
+        elif tag == "filter":
+            self.opt_state_filter = value
+        elif tag == "dis":
+            self.opt_state_dis = value
+        else:
+            self.opt_state = value
+
+    # ------------------------------------------------------------------ fit
+
+    def reset_params(self):
+        """Counters reset between stages (reference :561-579)."""
+        config = self.config
+        self.epochs = config["epochs"]
+        self.eval_step = min(config["eval_step"], self.epochs)
+        self.start_epoch = 0
+        self.cur_step = 0
+        self.best_valid_score = -np.inf if self.valid_metric_bigger else np.inf
+        self.best_valid_result = None
+        self.train_loss_dict = {}
+        self.eval_collector = Collector(config)
+        self.evaluator = Evaluator(config)
+        self.item_tensor = None
+        self.tot_item_num = None
+        self.model.train_stage = "finetune"
+
+    def fit(self, train_data, valid_data=None, verbose=True, saved=True, show_progress=False, callback_fn=None):
+        if self.model.train_stage == "pretrain":
+            self.pretrain(train_data, valid_data, verbose, saved, show_progress)
+            self.reset_params()
+            return super().fit(train_data, valid_data, verbose, saved, show_progress, callback_fn)
+        if self.model.train_stage == "finetune":
+            return super().fit(train_data, valid_data, verbose, saved, show_progress, callback_fn)
+        raise ValueError("Please make sure that the 'train_stage' is 'pretrain' or 'finetune'!")
+
+    def save_pretrained_model(self, saved_model_file):
+        payload = self._checkpoint_payload(-1)
+        payload["optimizer"] = jax.tree_util.tree_map(np.asarray, self.opt_state_pretrain)
+        with open(saved_model_file, "wb") as f:
+            pickle.dump(payload, f)
+
+    def pretrain(self, train_data, valid_data, verbose=True, saved=True, show_progress=False):
+        self.saved_pretrain_model_file = os.path.join(
+            self.checkpoint_dir,
+            f'{self.config["model"]}-{self.config["dataset"]}-pretrain.pth',
+        )
+        self.saved_pretrain_sst_file = os.path.join(
+            self.checkpoint_dir,
+            f'{self.config["model"]}-{self.config["dataset"]}-pretrain_embed[none].pth',
+        )
+        self.eval_step = min(self.config["eval_step"], self.pretrain_epochs)
+        self.logger.info(set_color("Model Pretrain", "yellow"))
+        self.eval_collector.data_collect(train_data)
+
+        for epoch_idx in range(self.start_epoch, self.pretrain_epochs):
+            training_start_time = time()
+            train_loss = self._run_epoch(train_data, "calculate_loss", None, "pretrain")
+            self.train_loss_dict[epoch_idx] = train_loss
+            training_end_time = time()
+            if verbose:
+                self.logger.info(
+                    self._generate_train_loss_output(
+                        epoch_idx, training_start_time, training_end_time, train_loss
+                    )
+                )
+
+            if self.eval_step <= 0 or not valid_data:
+                if saved:
+                    self.save_pretrained_model(self.saved_pretrain_model_file)
+                continue
+            if (epoch_idx + 1) % self.eval_step == 0:
+                valid_score, valid_result = self._valid_epoch(valid_data, show_progress=show_progress)
+                self.best_valid_score, self.cur_step, stop_flag, update_flag = early_stopping(
+                    valid_score, self.best_valid_score, self.cur_step,
+                    max_step=self.stopping_step, bigger=self.valid_metric_bigger,
+                )
+                if verbose:
+                    self.logger.info(
+                        set_color(f"pretrain epoch {epoch_idx} evaluating", "green")
+                        + f" [valid_score: {valid_score:f}]"
+                    )
+                    self.logger.info(set_color("valid result", "blue") + ": \n" + dict2str(valid_result))
+                if update_flag:
+                    if saved:
+                        self.save_pretrained_model(self.saved_pretrain_model_file)
+                    self.best_valid_result = valid_result
+                if stop_flag:
+                    if verbose:
+                        self.logger.info(
+                            "Finished pretraining, best eval result in epoch %d"
+                            % (epoch_idx - self.cur_step * self.eval_step)
+                        )
+                    break
+
+        with open(self.saved_pretrain_model_file, "rb") as f:
+            checkpoint = pickle.load(f)
+        self._load_params_from_checkpoint(checkpoint)
+        if self.config["save_sst_embed"]:
+            self._save_sst_embed_direct(train_data, self.saved_pretrain_sst_file)
+        return self.best_valid_score, self.best_valid_result
+
+    # ------------------------------------------------------------- training
+
+    def _train_epoch(self, train_data, epoch_idx, loss_func=None, show_progress=False):
+        dis_loss, filter_loss = 0.0, 0.0
+        sst_list = _draw_sst_mask(self.sst_attrs)
+        if epoch_idx % self.train_epoch_interval == 0:
+            self.logger.info("Train Filter")
+            filter_loss = self._run_epoch(train_data, "calculate_loss", sst_list, "filter")
+        self.logger.info("Train Discriminator")
+        dis_loss = self._run_epoch(train_data, "calculate_dis_loss", sst_list, "dis")
+        return dis_loss, filter_loss
+
+    # ------------------------------------------------------------ evaluation
+
+    def evaluate(self, eval_data, load_best_model=True, model_file=None, show_progress=False):
+        """Report pretrain-* and finetune-* metric sets (reference :738-772)."""
+        if not eval_data:
+            return
+        result = {}
+        if not load_best_model:
+            return super().evaluate(eval_data, show_progress=show_progress)
+
+        if not self.load_pretrain_weight:
+            with open(self.saved_pretrain_model_file, "rb") as f:
+                checkpoint = pickle.load(f)
+            self._load_params_from_checkpoint(checkpoint)
+            self.model.train_stage = "pretrain"
+            self.logger.info(
+                f"Loading pretrain model structure and parameters from {self.saved_pretrain_model_file}"
+            )
+            for key, value in super().evaluate(eval_data).items():
+                result[f"pretrain-{key}"] = value
+
+        checkpoint_file = model_file or self.saved_model_file
+        with open(checkpoint_file, "rb") as f:
+            checkpoint = pickle.load(f)
+        self._load_params_from_checkpoint(checkpoint)
+        self.model.train_stage = "finetune"
+        self.logger.info(f"Loading model structure and parameters from {checkpoint_file}")
+        for key, value in super().evaluate(eval_data).items():
+            result[f"finetune-{key}"] = value
+        return result
+
+    # ----------------------------------------------------------- checkpoints
+
+    def _checkpoint_payload(self, epoch):
+        payload = super()._checkpoint_payload(epoch)
+        payload["optimizer_filter"] = jax.tree_util.tree_map(np.asarray, self.opt_state_filter)
+        payload["optimizer_dis"] = jax.tree_util.tree_map(np.asarray, self.opt_state_dis)
+        payload["train_stage"] = self.model.train_stage
+        return payload
+
+    def resume_checkpoint(self, resume_file):
+        import jax.numpy as jnp
+
+        resume_file = str(resume_file)
+        self.saved_model_file = resume_file
+        with open(resume_file, "rb") as f:
+            checkpoint = pickle.load(f)
+        self.start_epoch = checkpoint["epoch"] + 1
+        self.cur_step = checkpoint["cur_step"]
+        self.best_valid_score = checkpoint["best_valid_score"]
+        self._load_params_from_checkpoint(checkpoint)
+        self.opt_state_filter = jax.tree_util.tree_map(jnp.asarray, checkpoint["optimizer_filter"])
+        self.opt_state_dis = jax.tree_util.tree_map(jnp.asarray, checkpoint["optimizer_dis"])
+        if checkpoint.get("train_stage"):
+            self.model.train_stage = checkpoint["train_stage"]
+        self.logger.info(f"Checkpoint loaded. Resume training from epoch {self.start_epoch}")
+
+    def _save_sst_embed_direct(self, data, saved_sst_embed_file=None):
+        """Export with the CURRENT params (reference :774-782)."""
+        user_features = data.dataset.get_user_feature()[1:]
+        stored = self.model.get_sst_embed(
+            self.params, self.model_state, user_features, tuple(self.sst_attrs)
+        )
+        stored = jax.tree_util.tree_map(np.asarray, stored)
+        path = saved_sst_embed_file or self.saved_sst_embed_file
+        with open(path, "wb") as f:
+            pickle.dump(stored, f)
+
+    def _save_sst_embed(self, data):
+        self._save_sst_embed_direct(data)
+
+
+class FairGo_PMFTrainer(FairGoTrainer):
+    pass
+
+
+class FairGo_GCNTrainer(FairGoTrainer):
+    pass
+
+
 class PFCN_MLPTrainer(PFCNTrainer):
     pass
 

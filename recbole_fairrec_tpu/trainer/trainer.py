@@ -149,11 +149,19 @@ class Trainer(AbstractTrainer):
         return optax.chain(*steps)
 
     def _build_optimizer(self, **kwargs):
-        return self._make_tx(
+        tx = self._make_tx(
             learner=kwargs.get("learner"),
             learning_rate=kwargs.get("learning_rate"),
             weight_decay=kwargs.get("weight_decay"),
         )
+        # models may freeze param subtrees (NFCF's debiased user embeddings —
+        # reference nfcf.py:66 sets requires_grad=False)
+        frozen = getattr(self.model, "frozen_param_keys", lambda: [])()
+        if frozen:
+            tx = optax.masked(tx, self._group_mask([
+                k for k in self.params.keys() if k not in frozen
+            ]))
+        return tx
 
     def _group_mask(self, group_keys):
         """Pytree mask selecting top-level param keys in ``group_keys``."""
@@ -172,7 +180,9 @@ class Trainer(AbstractTrainer):
     # ------------------------------------------------------------ jit steps
 
     def _get_update_fn(self, loss_name, sst_list, tx_tag="main"):
-        key = (loss_name, sst_list, tx_tag)
+        # train_stage is static model state baked into traces (FairGo's
+        # pretrain/finetune switch) — it must key the cache
+        key = (loss_name, sst_list, tx_tag, getattr(self.model, "train_stage", None))
         if key in self._update_cache:
             return self._update_cache[key]
 
@@ -409,7 +419,7 @@ class Trainer(AbstractTrainer):
     # ------------------------------------------------------------ evaluate
 
     def _get_full_sort_fn(self, sst_list=None):
-        key = ("full_sort", sst_list)
+        key = ("full_sort", sst_list, getattr(self.model, "train_stage", None))
         if key not in self._eval_fn_cache:
             model = self.model
 
@@ -420,7 +430,7 @@ class Trainer(AbstractTrainer):
         return self._eval_fn_cache[key]
 
     def _get_predict_fn(self, sst_list=None):
-        key = ("predict", sst_list)
+        key = ("predict", sst_list, getattr(self.model, "train_stage", None))
         if key not in self._eval_fn_cache:
             model = self.model
 
