@@ -299,12 +299,17 @@ class Config:
             )
 
     def _init_device(self):
-        """Record the JAX backend. There is no per-process device pinning as
-        with CUDA_VISIBLE_DEVICES; sharding is handled by the parallel layer
-        (reference analogue: configurator.py:344-348)."""
+        """Select the JAX backend. ``use_gpu: False`` forces the CPU backend
+        (the reference's CPU escape hatch, configurator.py:344-348); sharding
+        across accelerator devices is handled by the parallel layer."""
         import jax
 
         cfg = self.final_config_dict
+        if cfg.get("use_gpu") is False:
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
         cfg["device"] = jax.devices()[0]
         cfg["backend"] = jax.default_backend()
 

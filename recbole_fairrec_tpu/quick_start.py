@@ -85,9 +85,15 @@ def load_data_and_model(model_file):
     """Rebuild (config, model, trainer, dataset, loaders) from a checkpoint
     (reference :102-133). Returns the trainer too — in the functional design
     the trainer owns the live params."""
+    import os
+
     with open(model_file, "rb") as f:
         checkpoint = pickle.load(f)
-    config = Config(config_dict=checkpoint["config"])
+    saved_cfg = dict(checkpoint["config"])
+    # data_path was already joined with the dataset name when the checkpoint
+    # was written; Config would join again
+    saved_cfg["data_path"] = os.path.dirname(saved_cfg["data_path"])
+    config = Config(config_dict=saved_cfg)
     init_seed(config["seed"], config["reproducibility"])
     init_logger(config)
     logger = getLogger()
@@ -102,5 +108,8 @@ def load_data_and_model(model_file):
     trainer = get_trainer(config["MODEL_TYPE"], config["model"])(config, model_obj)
     trainer._load_params_from_checkpoint(checkpoint)
     trainer.saved_model_file = str(model_file)
+    # eval-only flows never run fit(), which is what normally feeds the
+    # collector its train-side resources (num_items, popularity counters)
+    trainer.eval_collector.data_collect(train_data)
 
     return config, model_obj, trainer, dataset, train_data, valid_data, test_data

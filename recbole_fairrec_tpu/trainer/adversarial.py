@@ -113,19 +113,13 @@ class PFCNTrainer(Trainer):
         if load_best_model:
             self._load_best(model_file)
 
-        eval_func, full = self._pick_eval_func(eval_data)
+        kind = self._pick_eval_kind(eval_data)
         for batched_data in eval_data:
             if self.filter_mode != "none":
                 for sst_list in self._sst_subsets():
-                    interaction, scores, positive_u, positive_i = eval_func(
-                        batched_data, sst_list
-                    )
-                    self.eval_collector.eval_batch_collect(
-                        scores, interaction, positive_u, positive_i
-                    )
+                    self._collect_batch(kind, batched_data, sst_list)
             else:
-                interaction, scores, positive_u, positive_i = eval_func(batched_data)
-                self.eval_collector.eval_batch_collect(scores, interaction, positive_u, positive_i)
+                self._collect_batch(kind, batched_data)
         self.eval_collector.model_collect(self.model)
         struct = self.eval_collector.get_data_struct()
         return self.evaluator.evaluate(struct)
@@ -135,19 +129,19 @@ class PFCNTrainer(Trainer):
         valid_score = calculate_valid_score(valid_result, self.valid_metric)
         return valid_score, valid_result
 
-    def _pick_eval_func(self, eval_data):
+    def _pick_eval_kind(self, eval_data):
         if isinstance(eval_data, FullSortEvalDataLoader):
             self._full_sort_pad = eval_data.step
             if self.item_tensor is None:
                 self.item_tensor = eval_data.dataset.get_item_feature()
-            eval_func = self._full_sort_batch_eval
-            full = True
+            kind = "full"
         else:
-            eval_func = self._neg_sample_batch_eval
-            full = False
+            kind = "sampled"
+            self._sampled_user_pad = eval_data.step
+            self._eval_row_cap = eval_data.batch_size
         if self.config["eval_type"] == EvaluatorType.RANKING:
             self.tot_item_num = eval_data.dataset.item_num
-        return eval_func, full
+        return kind
 
     def _load_best(self, model_file=None):
         checkpoint_file = model_file or self.saved_model_file
@@ -164,21 +158,19 @@ class PFCNTrainer(Trainer):
         if load_best_model:
             self._load_best(model_file)
 
-        eval_func, _ = self._pick_eval_func(eval_data)
+        kind = self._pick_eval_kind(eval_data)
         final_result = {}
         if self.filter_mode != "none":
             for sst_list in self._sst_subsets():
                 for batched_data in eval_data:
-                    interaction, scores, positive_u, positive_i = eval_func(batched_data, sst_list)
-                    self.eval_collector.eval_batch_collect(scores, interaction, positive_u, positive_i)
+                    self._collect_batch(kind, batched_data, sst_list)
                 self.eval_collector.model_collect(self.model)
                 struct = self.eval_collector.get_data_struct()
                 result = self.evaluator.evaluate(struct)
                 final_result[f'{self.config["filter_mode"]}-{list(sst_list)}'] = result
         else:
             for batched_data in eval_data:
-                interaction, scores, positive_u, positive_i = eval_func(batched_data)
-                self.eval_collector.eval_batch_collect(scores, interaction, positive_u, positive_i)
+                self._collect_batch(kind, batched_data)
             self.eval_collector.model_collect(self.model)
             struct = self.eval_collector.get_data_struct()
             final_result[str(self.config["filter_mode"])] = self.evaluator.evaluate(struct)

@@ -44,8 +44,19 @@ from ..utils import (
     get_local_time,
     set_color,
 )
+from ..utils.loggers import WandbLogger, get_tensorboard
 
 NEG_INF = -np.inf
+
+
+def _flatten_result(result):
+    flat = {}
+    for k, v in (result or {}).items():
+        if isinstance(v, dict):
+            flat.update({f"{k}/{kk}": vv for kk, vv in v.items()})
+        else:
+            flat[k] = v
+    return flat
 
 
 def _bucket(n, quantum=256):
@@ -69,6 +80,8 @@ class Trainer(AbstractTrainer):
     def __init__(self, config, model):
         super().__init__(config, model)
         self.logger = getLogger()
+        self.tensorboard = get_tensorboard(self.logger)
+        self.wandblogger = WandbLogger(config)
         self.learner = config["learner"]
         self.learning_rate = config["learning_rate"]
         self.epochs = config["epochs"]
@@ -282,6 +295,27 @@ class Trainer(AbstractTrainer):
             output += set_color("train loss", "blue") + f": {losses:.{des}f}"
         return output + "]"
 
+    def _add_train_loss_to_tensorboard(self, epoch_idx, losses, tag="Loss/Train"):
+        if isinstance(losses, tuple):
+            for idx, loss in enumerate(losses):
+                self.tensorboard.add_scalar(tag + str(idx), loss, epoch_idx)
+        else:
+            self.tensorboard.add_scalar(tag, losses, epoch_idx)
+
+    def _add_hparam_to_tensorboard(self, best_valid_result):
+        hparam_dict = {
+            "learner": self.config["learner"],
+            "learning_rate": self.config["learning_rate"],
+            "train_batch_size": self.config["train_batch_size"],
+        }
+        for k in list(hparam_dict):
+            if hparam_dict[k] is not None and not isinstance(hparam_dict[k], (bool, str, float, int)):
+                hparam_dict[k] = str(hparam_dict[k])
+        try:
+            self.tensorboard.add_hparams(hparam_dict, {"hparam/best_valid_result": best_valid_result})
+        except Exception:
+            pass
+
     def _valid_epoch(self, valid_data, show_progress=False):
         valid_result = self.evaluate(valid_data, load_best_model=False, show_progress=show_progress)
         valid_score = calculate_valid_score(valid_result, self.valid_metric)
@@ -371,6 +405,11 @@ class Trainer(AbstractTrainer):
                         epoch_idx, training_start_time, training_end_time, train_loss
                     )
                 )
+            self._add_train_loss_to_tensorboard(epoch_idx, train_loss)
+            self.wandblogger.log_metrics(
+                {"epoch": epoch_idx, "train_loss": train_loss, "train_step": epoch_idx},
+                head="train",
+            )
 
             if self.eval_step <= 0 or not valid_data:
                 if saved:
@@ -394,6 +433,10 @@ class Trainer(AbstractTrainer):
                          + set_color("valid_score", "blue") + f": {valid_score:f}]")
                     )
                     self.logger.info(set_color("valid result", "blue") + ": \n" + dict2str(valid_result))
+                self.tensorboard.add_scalar("Valid_score", valid_score, epoch_idx)
+                self.wandblogger.log_metrics(
+                    {**_flatten_result(valid_result), "valid_step": valid_step}, head="valid"
+                )
 
                 if update_flag:
                     if saved:
@@ -414,6 +457,7 @@ class Trainer(AbstractTrainer):
 
         if self.config["save_sst_embed"]:
             self._save_sst_embed(train_data)
+        self._add_hparam_to_tensorboard(self.best_valid_score)
         return self.best_valid_score, self.best_valid_result
 
     # ------------------------------------------------------------ evaluate
@@ -476,10 +520,14 @@ class Trainer(AbstractTrainer):
         return np.asarray(scores, dtype=np.float64).reshape(-1, self.tot_item_num)
 
     def _predict_scores(self, interaction, sst_list=None):
-        # Bucket-pad so the jitted scorer sees a handful of shapes instead of
-        # one per batch (uni100 batches are one user's ragged row group).
+        # Pad every eval predict batch to ONE canonical shape (the loader's
+        # max batch rows) so the scorer compiles exactly once — compiles are
+        # expensive (especially over the remote-TPU tunnel) while scoring
+        # padded rows is nearly free on the MXU/VPU.
         n = len(interaction)
-        batch = self._to_batch(interaction, pad_to=_bucket(n, 512))
+        cap = getattr(self, "_eval_row_cap", None)
+        pad_to = cap if cap and cap >= n else _bucket(n, 512)
+        batch = self._to_batch(interaction, pad_to=pad_to)
         fn = self._get_predict_fn(sst_list)
         out = np.asarray(fn(self.params, self.model_state, batch))
         return out.reshape(-1)[:n]
@@ -510,6 +558,132 @@ class Trainer(AbstractTrainer):
             results.append(self._predict_scores(block, sst_list))
         return np.concatenate(results, axis=0)
 
+    # ----------------------------------------------------------- fused eval
+
+    def _fused_eval_ok(self):
+        """Fused device path covers the topk/positive-score resources; fall
+        back to the host path when rank-curve or VALUE resources are needed."""
+        r = self.eval_collector.register
+        return not (
+            r.need("rec.meanrank") or r.need("rec.score") or r.need("data.label")
+        ) and self.config["eval_type"] == EvaluatorType.RANKING
+
+    @staticmethod
+    def _pad_pairs(u, i, quantum=1024, cap=None):
+        """Pad ragged index pairs to a bucketed length; pads target (0, 0)
+        with weight 0."""
+        n = len(u)
+        if cap is None or cap < n:
+            cap = max(_bucket(n, quantum), quantum)
+        pu = np.zeros(cap, dtype=np.int32)
+        pi = np.zeros(cap, dtype=np.int32)
+        w = np.zeros(cap, dtype=np.float32)
+        pu[:n] = u
+        pi[:n] = i
+        w[:n] = 1.0
+        return pu, pi, w, n
+
+    def _collect_full_sort_fused(self, batched_data, sst_list=None):
+        from ..ops.eval_fused import full_sort_eval_step
+
+        interaction, history_index, positive_u, positive_i = batched_data
+        n = len(interaction)
+        pad_to = max(getattr(self, "_full_sort_pad", None) or n, n)
+        batch = self._to_batch(interaction, pad_to=pad_to)
+        fn = self._get_full_sort_fn(sst_list)
+        scores = fn(self.params, self.model_state, batch).reshape(pad_to, self.tot_item_num)
+
+        pu, pi, pw, n_pos = self._pad_pairs(positive_u, positive_i)
+        if history_index is not None:
+            hu, hi, _, _ = self._pad_pairs(history_index[0], history_index[1])
+        else:
+            hu = np.zeros(1, dtype=np.int32)
+            hi = np.zeros(1, dtype=np.int32)
+        topk_idx, rec_topk, pos_score = full_sort_eval_step(
+            scores, pu, pi, pw, hu, hi, max(self.config["topk"])
+        )
+        self._emit_fused_payload(
+            interaction, positive_u, positive_i, topk_idx, rec_topk, pos_score, n, n_pos
+        )
+
+    def _collect_sampled_fused(self, batched_data, sst_list=None):
+        from ..ops.eval_fused import sampled_eval_step
+
+        interaction, row_idx, positive_u, positive_i = batched_data
+        origin_scores = self._predict_scores(interaction, sst_list)
+        items = np.asarray(interaction[self.config["ITEM_ID_FIELD"]])
+        n_users = int(positive_u[-1]) + 1
+        n_users_pad = getattr(self, "_sampled_user_pad", None) or n_users
+
+        cap = getattr(self, "_eval_row_cap", None)
+        ru, ci, valid, _ = self._pad_pairs(row_idx, items, cap=cap)
+        scr = np.zeros(len(ru), dtype=np.float32)
+        scr[: len(origin_scores)] = origin_scores
+        pu, pi, pw, n_pos = self._pad_pairs(positive_u, positive_i)
+        topk_idx, rec_topk, pos_score = sampled_eval_step(
+            scr, ru, ci, valid, pu, pi, pw,
+            max(n_users_pad, n_users), self.tot_item_num, max(self.config["topk"]),
+        )
+        payload_extra = {}
+        r = self.eval_collector.register
+        if r.need("rec.negative_score") or r.need("data.negative_i"):
+            neg_idx = self._neg_block_positions(items, positive_u)
+            if r.need("rec.negative_score"):
+                payload_extra["rec.negative_score"] = origin_scores[neg_idx]
+            if r.need("data.negative_i"):
+                payload_extra["data.negative_i"] = items[neg_idx]
+        self._emit_fused_payload(
+            interaction, positive_u, positive_i, topk_idx, rec_topk, pos_score,
+            n_users, n_pos, payload_extra,
+        )
+
+    @staticmethod
+    def _neg_block_positions(items, positive_u):
+        """Row positions of each user's first negative block (see
+        Collector._first_negative_block for the layout discussion)."""
+        k = np.bincount(positive_u)
+        k = k[k > 0]
+        times = len(items) // max(k.sum(), 1)
+        block_starts = np.concatenate([[0], np.cumsum(k * times)])[:-1]
+        return np.concatenate(
+            [np.arange(s + kj, s + 2 * kj) for s, kj in zip(block_starts, k)]
+        )
+
+    def _emit_fused_payload(
+        self, interaction, positive_u, positive_i, topk_idx, rec_topk, pos_score,
+        n_rows, n_pos, extra=None,
+    ):
+        r = self.eval_collector.register
+        payload = dict(extra or {})
+        if r.need("rec.items"):
+            payload["rec.items"] = np.asarray(topk_idx)[:n_rows]
+        if r.need("rec.topk"):
+            payload["rec.topk"] = np.asarray(rec_topk)[:n_rows]
+        if r.need("rec.positive_score"):
+            payload["rec.positive_score"] = np.asarray(pos_score)[:n_pos]
+        self.eval_collector.eval_batch_collect_topk(
+            payload, interaction, positive_u, positive_i
+        )
+
+    def _collect_batch(self, kind, batched_data, sst_list=None):
+        """Score one eval batch and feed the collector, fused when possible."""
+        if kind == "full":
+            if self._fused_eval_ok():
+                try:
+                    return self._collect_full_sort_fused(batched_data, sst_list)
+                except NotImplementedError:
+                    pass
+            interaction, scores, positive_u, positive_i = self._full_sort_batch_eval(
+                batched_data, sst_list
+            )
+        else:
+            if self._fused_eval_ok() and batched_data[1] is not None:
+                return self._collect_sampled_fused(batched_data, sst_list)
+            interaction, scores, positive_u, positive_i = self._neg_sample_batch_eval(
+                batched_data, sst_list
+            )
+        self.eval_collector.eval_batch_collect(scores, interaction, positive_u, positive_i)
+
     def evaluate(self, eval_data, load_best_model=False, model_file=None, show_progress=False):
         if not eval_data:
             return
@@ -522,21 +696,24 @@ class Trainer(AbstractTrainer):
             self.logger.info(f"Loading model structure and parameters from {checkpoint_file}")
 
         if isinstance(eval_data, FullSortEvalDataLoader):
-            eval_func = self._full_sort_batch_eval
+            kind = "full"
             self._full_sort_pad = eval_data.step
             if self.item_tensor is None:
                 self.item_tensor = eval_data.dataset.get_item_feature()
         else:
-            eval_func = self._neg_sample_batch_eval
+            kind = "sampled"
+            self._sampled_user_pad = eval_data.step
+            self._eval_row_cap = eval_data.batch_size
         if self.config["eval_type"] == EvaluatorType.RANKING:
             self.tot_item_num = eval_data.dataset.item_num
 
         self.eval_collector.model_collect(self.model)
         for batched_data in eval_data:
-            interaction, scores, positive_u, positive_i = eval_func(batched_data)
-            self.eval_collector.eval_batch_collect(scores, interaction, positive_u, positive_i)
+            self._collect_batch(kind, batched_data)
         struct = self.eval_collector.get_data_struct()
-        return self.evaluator.evaluate(struct)
+        result = self.evaluator.evaluate(struct)
+        self.wandblogger.log_eval_metrics(result, head="eval")
+        return result
 
     # ---------------------------------------------------- dynamic negatives
 

@@ -1,0 +1,38 @@
+"""Hyperparameter search CLI (parity: run_hyper.py at the reference root)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from recbole_fairrec_tpu.quick_start import objective_function
+from recbole_fairrec_tpu.trainer.hyper_tuning import HyperTuning
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_files", type=str, default=None, help="fixed config files")
+    parser.add_argument("--params_file", type=str, default=None, help="parameters file")
+    parser.add_argument("--output_file", type=str, default="hyper_example.result", help="output file")
+    parser.add_argument("--algo", type=str, default="exhaustive", help="exhaustive | random")
+    parser.add_argument("--max_evals", type=int, default=100)
+    args, _ = parser.parse_known_args()
+
+    config_file_list = args.config_files.strip().split(" ") if args.config_files else None
+    hp = HyperTuning(
+        objective_function,
+        algo=args.algo,
+        max_evals=args.max_evals,
+        params_file=args.params_file,
+        fixed_config_file_list=config_file_list,
+    )
+    hp.run()
+    hp.export_result(output_file=args.output_file)
+    print("best params: ", hp.best_params)
+    print("best result: ")
+    print(hp.params2result[hp.params2str(hp.best_params)])
+
+
+if __name__ == "__main__":
+    main()
