@@ -38,9 +38,17 @@ def param_sharding(mesh, params, embedding_keys=("user_embedding", "item_embeddi
     """Sharding pytree for model params: embedding tables row-sharded over the
     'model' axis, everything else replicated."""
 
+    model_size = mesh.shape.get("model", 1)
+
     def spec_for(path, leaf):
         top = path[0].key if hasattr(path[0], "key") else str(path[0])
-        if top in embedding_keys and leaf.ndim >= 2:
+        # row-shard only when rows divide the axis; tiny/ragged tables stay
+        # replicated (production tables should be padded to the axis size)
+        if (
+            top in embedding_keys
+            and leaf.ndim >= 2
+            and leaf.shape[0] % model_size == 0
+        ):
             return NamedSharding(mesh, P("model", *([None] * (leaf.ndim - 1))))
         return NamedSharding(mesh, P())
 

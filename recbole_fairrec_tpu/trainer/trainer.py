@@ -120,6 +120,22 @@ class Trainer(AbstractTrainer):
         self._update_cache = {}
         self._eval_fn_cache = {}
 
+        # Optional multi-chip execution: config['mesh_shape'] = [data, model]
+        # activates declarative sharding — embedding tables row-sharded over
+        # 'model', batches over 'data', gradients psum'd by XLA. No reference
+        # counterpart (single-GPU there); see parallel/mesh.py.
+        self.mesh = None
+        self._param_shardings = None
+        if config["mesh_shape"]:
+            from ..parallel import make_mesh, param_sharding
+
+            self.mesh = make_mesh(tuple(config["mesh_shape"]))
+            self._param_shardings = param_sharding(self.mesh, self.params)
+            self.params = jax.tree_util.tree_map(
+                jax.device_put, self.params, self._param_shardings
+            )
+            self.logger.info(f"sharded execution over mesh {dict(self.mesh.shape)}")
+
     # ------------------------------------------------------------ optimizer
 
     def _make_tx(self, learner=None, learning_rate=None, weight_decay=None):
@@ -246,6 +262,20 @@ class Trainer(AbstractTrainer):
             w = np.zeros(target, dtype=np.float32)
             w[:n] = 1.0
             batch["__weight__"] = w
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_size = self.mesh.shape["data"]
+            out = {}
+            for k, v in batch.items():
+                # shard rows over 'data' when they divide evenly, else replicate
+                spec = (
+                    P("data", *([None] * (v.ndim - 1)))
+                    if v.shape[0] % data_size == 0
+                    else P()
+                )
+                out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
+            return out
         return batch
 
     # ------------------------------------------------------------ training
