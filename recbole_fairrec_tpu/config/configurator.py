@@ -371,6 +371,23 @@ class Config:
             raise TypeError("index must be a str.")
         return key in self.final_config_dict
 
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        # live jax Device handles are not picklable; re-derived on load
+        final = dict(state.get("final_config_dict", {}))
+        final.pop("device", None)
+        state["final_config_dict"] = final
+        state.pop("_yaml_loader", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._yaml_loader = _build_yaml_loader()
+        try:
+            self._init_device()
+        except Exception:
+            pass
+
     def __str__(self):
         lines = ["\n"]
         listed = set()

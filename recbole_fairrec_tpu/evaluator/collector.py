@@ -169,10 +169,14 @@ class Collector:
             if self.register.need("data.negative_i"):
                 self.data_struct.update_tensor("data.negative_i", neg_items)
             if self.register.need("data.sst"):
+                # the reference slices the first len(positive_u) rows
+                # (collector.py:205) — only correct for single-user batches;
+                # the per-user positive-block rows generalize it
+                pos_rows = self._block_positions(len(interaction), positive_u, "pos")
                 for sst in self.config["sst_attr_list"]:
                     assert sst in interaction.columns, f"{sst} is not in interaction"
                     self.data_struct.update_tensor(
-                        "data." + sst, np.asarray(interaction[sst])[: len(positive_u)]
+                        "data." + sst, np.asarray(interaction[sst])[pos_rows]
                     )
 
     def eval_batch_collect_topk(self, payload: dict, interaction, positive_u, positive_i):
@@ -188,10 +192,30 @@ class Collector:
             label_field = self.config["LABEL_FIELD"]
             self.data_struct.update_tensor("data.label", np.asarray(interaction[label_field]))
         if self.register.need("data.sst") and interaction is not None:
+            if self.full:
+                idx = positive_u
+            else:
+                idx = self._block_positions(len(interaction), positive_u, "pos")
             for sst in self.config["sst_attr_list"]:
                 col = np.asarray(interaction[sst])
-                idx = positive_u if self.full else np.arange(len(positive_u))
                 self.data_struct.update_tensor("data." + sst, col[idx])
+
+    @staticmethod
+    def _block_positions(n_rows, positive_u, which):
+        """Row positions of each user's positive block ("pos") or first
+        negative block ("neg") in the per-user [positives ⧺ negatives×m]
+        layout of sampled-eval interactions."""
+        k = np.bincount(positive_u)
+        k = k[k > 0]
+        times = n_rows // max(k.sum(), 1)  # 1 + neg_sample_num
+        block_starts = np.concatenate([[0], np.cumsum(k * times)])[:-1]
+        if which == "pos":
+            return np.concatenate(
+                [np.arange(s, s + kj) for s, kj in zip(block_starts, k)]
+            )
+        return np.concatenate(
+            [np.arange(s + kj, s + 2 * kj) for s, kj in zip(block_starts, k)]
+        )
 
     def _first_negative_block(self, interaction, positive_u):
         """One sampled negative item per positive row.
@@ -205,14 +229,7 @@ class Collector:
         reference in its well-defined regime, correct beyond it.
         """
         items = np.asarray(interaction[self.config["ITEM_ID_FIELD"]])
-        k = np.bincount(positive_u)  # positives per batch-user
-        k = k[k > 0]
-        times = len(items) // max(k.sum(), 1)  # 1 + neg_sample_num
-        block_starts = np.concatenate([[0], np.cumsum(k * times)])[:-1]
-        # for user j: rows [start + k_j, start + 2 k_j) are its first negatives
-        idx = np.concatenate(
-            [np.arange(s + kj, s + 2 * kj) for s, kj in zip(block_starts, k)]
-        )
+        idx = self._block_positions(len(items), positive_u, "neg")
         return items[idx]
 
     def model_collect(self, model):

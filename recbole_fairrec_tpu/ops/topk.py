@@ -1,0 +1,65 @@
+"""Streaming full-catalog top-k (XLA scan formulation).
+
+At production catalog sizes the [B, |I|] score matrix does not fit in HBM
+(4096 users × 10M items × 4B = 160 GB). This op streams item tiles through
+the MXU and carries a running [B, k] top-k, so peak memory is
+O(B·(tile + k)) — the XLA analogue of the Pallas kernel in
+``pallas/fused_topk.py``, and the fallback wherever Mosaic is unavailable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "tile"))
+def streaming_topk_scores(user_emb, item_table, top_k, tile=4096):
+    """Top-k of ``user_emb @ item_table.T`` without materializing all scores.
+
+    Args:
+        user_emb: [B, d].
+        item_table: [I, d]; I is padded internally to a tile multiple.
+        top_k: static k.
+        tile: item-tile width (catalog streamed in chunks of this size).
+
+    Returns:
+        (topk_scores [B, k], topk_idx [B, k]) — global item indices; padded
+        tail items score −inf and can never win.
+    """
+    B, d = user_emb.shape
+    I = item_table.shape[0]
+    n_tiles = -(-I // tile)
+    pad = n_tiles * tile - I
+    padded = jnp.concatenate(
+        [item_table, jnp.zeros((pad, d), item_table.dtype)], axis=0
+    ) if pad else item_table
+    tiles = padded.reshape(n_tiles, tile, d)
+
+    init = (
+        jnp.full((B, top_k), -jnp.inf, dtype=jnp.float32),
+        jnp.zeros((B, top_k), dtype=jnp.int32),
+    )
+
+    def step(carry, inputs):
+        tile_idx, tile_items = inputs
+        best_s, best_i = carry
+        scores = jnp.dot(
+            user_emb, tile_items.T, preferred_element_type=jnp.float32
+        )
+        col0 = tile_idx * tile
+        local_idx = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        # mask out the padded tail so it can't be selected
+        scores = jnp.where(local_idx < I, scores, -jnp.inf)
+        cat_s = jnp.concatenate([best_s, scores], axis=1)
+        cat_i = jnp.concatenate([best_i, local_idx], axis=1)
+        new_s, pos = jax.lax.top_k(cat_s, top_k)
+        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (new_s, new_i), None
+
+    (best_s, best_i), _ = jax.lax.scan(
+        step, init, (jnp.arange(n_tiles, dtype=jnp.int32), tiles)
+    )
+    return best_s, best_i

@@ -114,7 +114,7 @@ class PFCNTrainer(Trainer):
             self._load_best(model_file)
 
         kind = self._pick_eval_kind(eval_data)
-        for batched_data in eval_data:
+        for batched_data in self._macro_batches(eval_data, kind):
             if self.filter_mode != "none":
                 for sst_list in self._sst_subsets():
                     self._collect_batch(kind, batched_data, sst_list)
@@ -162,14 +162,14 @@ class PFCNTrainer(Trainer):
         final_result = {}
         if self.filter_mode != "none":
             for sst_list in self._sst_subsets():
-                for batched_data in eval_data:
+                for batched_data in self._macro_batches(eval_data, kind):
                     self._collect_batch(kind, batched_data, sst_list)
                 self.eval_collector.model_collect(self.model)
                 struct = self.eval_collector.get_data_struct()
                 result = self.evaluator.evaluate(struct)
                 final_result[f'{self.config["filter_mode"]}-{list(sst_list)}'] = result
         else:
-            for batched_data in eval_data:
+            for batched_data in self._macro_batches(eval_data, kind):
                 self._collect_batch(kind, batched_data)
             self.eval_collector.model_collect(self.model)
             struct = self.eval_collector.get_data_struct()

@@ -556,7 +556,7 @@ class Trainer(AbstractTrainer):
         # padded rows is nearly free on the MXU/VPU.
         n = len(interaction)
         cap = getattr(self, "_eval_row_cap", None)
-        pad_to = cap if cap and cap >= n else _bucket(n, 512)
+        pad_to = cap if cap and cap >= n else _bucket(n, 8192)
         batch = self._to_batch(interaction, pad_to=pad_to)
         fn = self._get_predict_fn(sst_list)
         out = np.asarray(fn(self.params, self.model_state, batch))
@@ -618,7 +618,7 @@ class Trainer(AbstractTrainer):
 
         interaction, history_index, positive_u, positive_i = batched_data
         n = len(interaction)
-        pad_to = max(getattr(self, "_full_sort_pad", None) or n, n)
+        pad_to = max(getattr(self, "_full_sort_pad", None) or n, _bucket(n, 512))
         batch = self._to_batch(interaction, pad_to=pad_to)
         fn = self._get_full_sort_fn(sst_list)
         scores = fn(self.params, self.model_state, batch).reshape(pad_to, self.tot_item_num)
@@ -643,7 +643,9 @@ class Trainer(AbstractTrainer):
         origin_scores = self._predict_scores(interaction, sst_list)
         items = np.asarray(interaction[self.config["ITEM_ID_FIELD"]])
         n_users = int(positive_u[-1]) + 1
-        n_users_pad = getattr(self, "_sampled_user_pad", None) or n_users
+        n_users_pad = max(
+            getattr(self, "_sampled_user_pad", None) or n_users, _bucket(n_users, 512)
+        )
 
         cap = getattr(self, "_eval_row_cap", None)
         ru, ci, valid, _ = self._pad_pairs(row_idx, items, cap=cap)
@@ -695,6 +697,76 @@ class Trainer(AbstractTrainer):
             payload, interaction, positive_u, positive_i
         )
 
+    def _macro_batches(self, eval_data, kind):
+        """Merge consecutive loader batches into large device dispatches.
+
+        The reference's eval loaders pack whole users, which degenerates to
+        ~1 user per batch on skewed datasets (general_dataloader.py:102-117)
+        — thousands of tiny device round-trips. Merging preserves per-user
+        row-block layout exactly (indices are offset by the running user
+        count) while cutting dispatch count by orders of magnitude.
+        """
+        from ..data.interaction import cat_interactions
+
+        target_scores = self.config["eval_macro_scores"] or 16_000_000
+        if kind == "full":
+            max_users = max(1, target_scores // max(self.tot_item_num or 1, 1))
+        else:
+            max_users = None
+        target_rows = self.config["eval_macro_rows"] or 131_072
+
+        buf = []
+        users = rows = 0
+        for batched_data in eval_data:
+            if kind != "full" and batched_data[1] is None:
+                yield batched_data  # labeled mode: nothing to merge
+                continue
+            buf.append(batched_data)
+            n_users = len(batched_data[0])
+            users += n_users
+            rows += len(batched_data[0]) if kind == "full" else len(batched_data[0])
+            if kind == "full":
+                if users >= max_users:
+                    yield self._merge_batches(buf, kind)
+                    buf, users, rows = [], 0, 0
+            else:
+                rows = sum(len(b[0]) for b in buf)
+                if rows >= target_rows:
+                    yield self._merge_batches(buf, kind)
+                    buf, users, rows = [], 0, 0
+        if buf:
+            yield self._merge_batches(buf, kind)
+
+    @staticmethod
+    def _merge_batches(buf, kind):
+        from ..data.interaction import cat_interactions
+
+        if len(buf) == 1:
+            return buf[0]
+        inters = [b[0] for b in buf]
+        merged_inter = cat_interactions(inters)
+        pos_u_parts, pos_i_parts = [], []
+        second_parts = []
+        offset = 0
+        for inter, second, pos_u, pos_i in buf:
+            n_users = int(pos_u[-1]) + 1 if kind != "full" else len(inter)
+            if kind == "full":
+                hist_u, hist_i = second
+                second_parts.append((hist_u + offset, hist_i))
+            else:
+                second_parts.append(second + offset)
+            pos_u_parts.append(pos_u + offset)
+            pos_i_parts.append(pos_i)
+            offset += n_users
+        pos_u = np.concatenate(pos_u_parts)
+        pos_i = np.concatenate(pos_i_parts)
+        if kind == "full":
+            hist_u = np.concatenate([p[0] for p in second_parts])
+            hist_i = np.concatenate([p[1] for p in second_parts])
+            return merged_inter, (hist_u, hist_i), pos_u, pos_i
+        row_idx = np.concatenate(second_parts)
+        return merged_inter, row_idx, pos_u, pos_i
+
     def _collect_batch(self, kind, batched_data, sst_list=None):
         """Score one eval batch and feed the collector, fused when possible."""
         if kind == "full":
@@ -738,7 +810,7 @@ class Trainer(AbstractTrainer):
             self.tot_item_num = eval_data.dataset.item_num
 
         self.eval_collector.model_collect(self.model)
-        for batched_data in eval_data:
+        for batched_data in self._macro_batches(eval_data, kind):
             self._collect_batch(kind, batched_data)
         struct = self.eval_collector.get_data_struct()
         result = self.evaluator.evaluate(struct)

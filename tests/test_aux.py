@@ -149,3 +149,30 @@ def test_case_study_topk(tiny_data_path, tmp_path):
     topk_scores, topk_idx = full_sort_topk(uids, trainer, test, k=5)
     assert topk_idx.shape == (3, 5)
     assert np.all(np.diff(topk_scores, axis=1) <= 0)
+
+
+def test_dataloader_cache_roundtrip(tiny_data_path, tmp_path):
+    """save_dataloaders=True pickles loaders (incl. Config) and reloads them
+    with config-invalidation (reference data/utils.py:75-117)."""
+    from recbole_fairrec_tpu.config import Config
+    from recbole_fairrec_tpu.data import create_dataset, data_preparation
+    from recbole_fairrec_tpu.data.utils import load_split_dataloaders
+    from recbole_fairrec_tpu.utils import init_seed
+
+    cfg = _base_cfg(tiny_data_path, tmp_path, save_dataloaders=True)
+    c = Config(config_dict=cfg)
+    init_seed(c["seed"], True)
+    ds = create_dataset(c)
+    data_preparation(c, ds)
+
+    loaded = load_split_dataloaders(c)
+    assert loaded is not None
+    train2, valid2, test2 = loaded
+    batch = next(iter(train2))
+    assert len(batch) > 0
+
+    # changed dataset arg invalidates the cache
+    cfg2 = dict(cfg)
+    cfg2["threshold"] = {"rating": 4.0}
+    c2 = Config(config_dict=cfg2)
+    assert load_split_dataloaders(c2) is None

@@ -1,0 +1,135 @@
+"""Device-op tests: streaming/fused top-k, SpMM, fused eval steps."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from recbole_fairrec_tpu.ops.eval_fused import full_sort_eval_step, sampled_eval_step
+from recbole_fairrec_tpu.ops.pallas.fused_topk import fused_topk_scores
+from recbole_fairrec_tpu.ops.spmm import (
+    build_bipartite_norm_coo,
+    build_gcn_norm_coo,
+    spmm_coo,
+)
+from recbole_fairrec_tpu.ops.topk import streaming_topk_scores
+
+
+def test_streaming_topk_matches_dense():
+    rng = np.random.RandomState(0)
+    U = jnp.asarray(rng.randn(17, 8).astype(np.float32))
+    T = jnp.asarray(rng.randn(103, 8).astype(np.float32))
+    dense = np.asarray(U) @ np.asarray(T).T
+    expect = np.argsort(-dense, axis=1)[:, :5]
+    s, i = streaming_topk_scores(U, T, 5, tile=32)
+    np.testing.assert_array_equal(np.sort(np.asarray(i), axis=1), np.sort(expect, axis=1))
+    np.testing.assert_allclose(
+        np.asarray(s), np.take_along_axis(dense, np.asarray(i), axis=1), rtol=1e-5
+    )
+
+
+def test_pallas_fused_topk_interpret():
+    rng = np.random.RandomState(1)
+    U = jnp.asarray(rng.randn(19, 16).astype(np.float32))
+    T = jnp.asarray(rng.randn(301, 16).astype(np.float32))
+    dense = np.asarray(U) @ np.asarray(T).T
+    dense[:, 0] = -np.inf  # PAD masked by the kernel
+    expect = np.argsort(-dense, axis=1)[:, :4]
+    s, i = fused_topk_scores(U, T, 4, user_tile=8, item_tile=128, interpret=True)
+    np.testing.assert_array_equal(np.sort(np.asarray(i), axis=1), np.sort(expect, axis=1))
+    np.testing.assert_allclose(
+        np.asarray(s), np.take_along_axis(dense, np.asarray(i), axis=1), atol=1e-5
+    )
+
+
+def test_spmm_matches_scipy():
+    rng = np.random.RandomState(2)
+    m = sp.random(20, 20, density=0.2, random_state=rng, format="coo")
+    X = rng.randn(20, 6).astype(np.float32)
+    expect = m @ X
+    out = spmm_coo(
+        jnp.asarray(m.row), jnp.asarray(m.col), jnp.asarray(m.data.astype(np.float32)),
+        jnp.asarray(X), 20,
+    )
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4)
+
+
+def test_bipartite_norm_rows_sum_to_one():
+    rng = np.random.RandomState(3)
+    rating = sp.random(12, 9, density=0.3, random_state=rng, format="coo")
+    rating.data[:] = rng.randint(1, 6, rating.nnz)
+    rows, cols, vals = build_bipartite_norm_coo(rating, 12, 9)
+    sums = np.zeros(21)
+    np.add.at(sums, np.asarray(rows), np.asarray(vals))
+    nonzero = sums[sums > 0]
+    np.testing.assert_allclose(nonzero, 1.0, atol=1e-4)
+
+
+def test_gcn_norm_symmetric():
+    rng = np.random.RandomState(4)
+    rating = sp.random(6, 5, density=0.4, random_state=rng, format="coo")
+    rating.data[:] = 1.0
+    rows, cols, vals = build_gcn_norm_coo(rating, 6, 5)
+    A = np.zeros((11, 11))
+    A[np.asarray(rows), np.asarray(cols)] = np.asarray(vals)
+    np.testing.assert_allclose(A, A.T, atol=1e-6)
+
+
+def test_full_sort_eval_step_masks_and_topk():
+    rng = np.random.RandomState(5)
+    B, I, k = 4, 32, 3
+    scores = jnp.asarray(rng.randn(B, I).astype(np.float32))
+    pos_u = jnp.asarray([0, 0, 1, 2, 0, 0], dtype=jnp.int32)
+    pos_i = jnp.asarray([3, 7, 5, 9, 0, 0], dtype=jnp.int32)
+    pos_w = jnp.asarray([1, 1, 1, 1, 0, 0], dtype=jnp.float32)
+    hist_u = jnp.asarray([1, 0], dtype=jnp.int32)
+    hist_i = jnp.asarray([4, 0], dtype=jnp.int32)
+    topk_idx, rec_topk, pos_score = full_sort_eval_step(
+        scores, pos_u, pos_i, pos_w, hist_u, hist_i, k
+    )
+    topk_idx = np.asarray(topk_idx)
+    assert not (topk_idx == 0).any()  # PAD never recommended
+    assert 4 not in topk_idx[1]  # history masked for user 1
+    rec_topk = np.asarray(rec_topk)
+    np.testing.assert_array_equal(rec_topk[:, -1], [2, 1, 1, 0])  # pos_len
+    # padded positive pairs (w=0) read the PAD column = -inf
+    ps = np.asarray(pos_score)
+    assert np.isfinite(ps[:4]).all() and not np.isfinite(ps[4:]).any()
+
+
+def test_sampled_eval_step_matches_reference_scatter():
+    rng = np.random.RandomState(6)
+    n_users, n_items, k = 3, 40, 4
+    # user blocks: 2 pos + 4 neg each (times = 3)
+    rows, cols, scores_l, pos_u, pos_i = [], [], [], [], []
+    for u in range(n_users):
+        items = rng.choice(np.arange(1, n_items), 6, replace=False)
+        for j, it in enumerate(items):
+            rows.append(u)
+            cols.append(it)
+            scores_l.append(rng.rand())
+            if j < 2:
+                pos_u.append(u)
+                pos_i.append(it)
+    rows = np.array(rows); cols = np.array(cols); svals = np.array(scores_l, dtype=np.float32)
+    pos_u = np.array(pos_u); pos_i = np.array(pos_i)
+
+    # reference semantics: full -inf matrix scatter then topk
+    ref = np.full((n_users, n_items), -np.inf)
+    ref[rows, cols] = svals
+    expect = np.argsort(-ref, axis=1)[:, :k]
+
+    valid = np.ones(len(rows), dtype=np.float32)
+    pos_w = np.ones(len(pos_u), dtype=np.float32)
+    topk_idx, rec_topk, pos_score = sampled_eval_step(
+        jnp.asarray(svals), jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(valid),
+        jnp.asarray(pos_u), jnp.asarray(pos_i), jnp.asarray(pos_w),
+        n_users, n_items, k,
+    )
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(topk_idx), axis=1), np.sort(expect, axis=1)
+    )
+    np.testing.assert_array_equal(np.asarray(rec_topk)[:, -1], [2, 2, 2])
+    np.testing.assert_allclose(np.asarray(pos_score), ref[pos_u, pos_i], rtol=1e-6)
