@@ -164,10 +164,7 @@ class Dataset:
             self.logger.warning(f"No columns have been loaded from [{source}]")
             return None
 
-        df = pd.read_csv(
-            filepath, delimiter=sep, usecols=usecols, dtype=dtype, encoding=encoding
-        )
-        df.columns = columns
+        df = self._read_table(filepath, sep, head, columns, usecols, dtype, encoding)
 
         seq_sep = self.config["seq_separator"]
         for field in columns:
@@ -185,6 +182,31 @@ class Dataset:
                     for v in df[field].values
                 ]
             self.field2seqlen[field] = max(map(len, df[field].values))
+        return df
+
+    def _read_table(self, filepath, sep, head, columns, usecols, dtype, encoding):
+        """Parse the atomic file: native single-pass reader when available
+        (native/fast_tsv.cpp), pandas otherwise. Identical output values."""
+        use_native = (
+            self.config["fast_io"] is not False
+            and len(sep) == 1
+            and (encoding or "utf-8").lower().replace("-", "") in ("utf8", "ascii")
+            and not any(ft.value.endswith("seq") for f, ft in self.field2type.items()
+                        if f in columns)
+        )
+        if use_native:
+            from .fast_tsv import read_columns
+
+            header_fields = head.split(sep)
+            col_indices = [header_fields.index(uc) for uc in usecols]
+            col_is_token = [dtype[uc] is str for uc in usecols]
+            parsed = read_columns(filepath, sep, col_indices, col_is_token)
+            if parsed is not None:
+                return pd.DataFrame(dict(zip(columns, parsed)))
+        df = pd.read_csv(
+            filepath, delimiter=sep, usecols=usecols, dtype=dtype, encoding=encoding
+        )
+        df.columns = columns
         return df
 
     # ----------------------------------------------------------------- alias

@@ -107,3 +107,24 @@ def test_data_preparation_loaders(tiny_data_path):
     # first user's block starts with that user's positives
     k = int((pos_u == 0).sum())
     assert (np.asarray(inter["item_id"])[:k] == pos_i[:k]).all()
+
+
+def test_native_reader_matches_pandas(tiny_data_path):
+    """The C++ fast reader must produce byte-identical frames to pandas."""
+    import pandas as pd
+    from recbole_fairrec_tpu.data.fast_tsv import native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+
+    c_fast = tiny_config(tiny_data_path, fast_io=True)
+    c_slow = tiny_config(tiny_data_path, fast_io=False)
+    ds_fast = Dataset(c_fast)
+    ds_slow = Dataset(c_slow)
+    for name in ("inter_feat", "user_feat"):
+        a, b = getattr(ds_fast, name), getattr(ds_slow, name)
+        assert list(a.columns) == list(b.columns)
+        for col in a.columns:
+            np.testing.assert_array_equal(
+                np.asarray(a[col].values), np.asarray(b[col].values), err_msg=f"{name}.{col}"
+            )

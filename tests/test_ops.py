@@ -133,3 +133,57 @@ def test_sampled_eval_step_matches_reference_scatter():
     )
     np.testing.assert_array_equal(np.asarray(rec_topk)[:, -1], [2, 2, 2])
     np.testing.assert_allclose(np.asarray(pos_score), ref[pos_u, pos_i], rtol=1e-6)
+
+
+def test_device_negative_sampler_excludes_used():
+    from recbole_fairrec_tpu.ops.neg_sampling import build_used_keys, sample_negatives
+
+    rng = np.random.RandomState(7)
+    n_users, n_items = 20, 50
+    uids = rng.randint(1, n_users, 300)
+    iids = rng.randint(1, n_items, 300)
+    used_keys = build_used_keys(uids, iids, n_items)
+    used = set(zip(uids.tolist(), iids.tolist()))
+
+    batch_users = jnp.asarray(rng.randint(1, n_users, 64))
+    neg = sample_negatives(jax.random.PRNGKey(0), batch_users, used_keys, n_items, num_neg=3)
+    neg = np.asarray(neg)
+    assert neg.shape == (192,)
+    assert neg.min() >= 1
+    tiled = np.tile(np.asarray(batch_users), 3)
+    collisions = sum((u, v) in used for u, v in zip(tiled.tolist(), neg.tolist()))
+    assert collisions == 0
+
+
+def test_device_repeatable_sampler():
+    from recbole_fairrec_tpu.ops.neg_sampling import sample_negatives_repeatable
+
+    pos = jnp.asarray(np.arange(1, 65))
+    neg = sample_negatives_repeatable(jax.random.PRNGKey(1), pos, 100, num_neg=2)
+    neg = np.asarray(neg)
+    tiled = np.tile(np.arange(1, 65), 2)
+    assert (neg != tiled).all()
+    assert neg.min() >= 1 and neg.max() < 100
+
+
+def test_device_popularity_sampler():
+    from recbole_fairrec_tpu.ops.neg_sampling import (
+        build_used_keys, sample_negatives_popularity,
+    )
+    from recbole_fairrec_tpu.sampler import AliasTable
+
+    rng = np.random.RandomState(8)
+    n_items = 40
+    candidates = np.concatenate([np.full(70, 1), np.full(20, 2), np.full(10, 3),
+                                 rng.randint(4, n_items, 50)])
+    table = AliasTable(candidates)
+    used_keys = build_used_keys(np.array([1]), np.array([2]), n_items)
+    users = jnp.asarray(np.full(3000, 2))
+    neg = sample_negatives_popularity(
+        jax.random.PRNGKey(2), users, used_keys,
+        jnp.asarray(table.prob), jnp.asarray(table.alias), jnp.asarray(table.values),
+        n_items,
+    )
+    neg = np.asarray(neg)
+    freq1 = (neg == 1).mean()
+    assert 0.35 <= freq1 <= 0.6  # ~70/150 of candidate mass
