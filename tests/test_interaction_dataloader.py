@@ -1,0 +1,145 @@
+"""Interaction container + dataloader behavior tests (the reference test
+contract's tests/data/test_dataloader.py role, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from recbole_fairrec_tpu.config import Config
+from recbole_fairrec_tpu.data import Dataset, create_samplers, data_preparation, create_dataset
+from recbole_fairrec_tpu.data.interaction import Interaction, cat_interactions
+
+
+def test_interaction_basic_ops():
+    inter = Interaction({"a": np.arange(5), "b": np.arange(5) * 2.0})
+    assert len(inter) == 5
+    assert set(inter.columns) == {"a", "b"}
+    sliced = inter[1:3]
+    assert len(sliced) == 2
+    np.testing.assert_array_equal(sliced["a"], [1, 2])
+    picked = inter[np.array([0, 4])]
+    np.testing.assert_array_equal(picked["b"], [0.0, 8.0])
+
+
+def test_interaction_repeat_semantics():
+    inter = Interaction({"a": np.array([1, 2])})
+    np.testing.assert_array_equal(inter.repeat(3)["a"], [1, 2, 1, 2, 1, 2])
+    np.testing.assert_array_equal(inter.repeat_interleave(3)["a"], [1, 1, 1, 2, 2, 2])
+
+
+def test_interaction_update_prefix_sort():
+    inter = Interaction({"a": np.array([3, 1, 2]), "b": np.array([9, 7, 8])})
+    other = Interaction({"c": np.array([0, 0, 0])})
+    inter.update(other)
+    assert "c" in inter
+    other2 = Interaction({"x": np.array([5, 5, 5])})
+    other2.add_prefix("neg_")
+    assert "neg_x" in other2
+    inter.sort(by="a")
+    np.testing.assert_array_equal(inter["a"], [1, 2, 3])
+    np.testing.assert_array_equal(inter["b"], [7, 8, 9])
+    inter.sort(by="a", ascending=False)
+    np.testing.assert_array_equal(inter["a"], [3, 2, 1])
+
+
+def test_interaction_unequal_lengths_rejected():
+    with pytest.raises(ValueError):
+        Interaction({"a": np.arange(3), "b": np.arange(4)})
+
+
+def test_cat_interactions():
+    a = Interaction({"x": np.array([1, 2])})
+    b = Interaction({"x": np.array([3])})
+    merged = cat_interactions([a, b])
+    np.testing.assert_array_equal(merged["x"], [1, 2, 3])
+    with pytest.raises(ValueError):
+        cat_interactions([a, Interaction({"y": np.array([1])})])
+
+
+def _prep(tiny_data_path, model="PFCN_PMF", **kw):
+    cd = {
+        "data_path": str(tiny_data_path),
+        "load_col": {"inter": ["user_id", "item_id", "rating"], "user": ["user_id", "gender"]},
+        "threshold": {"rating": 3.0},
+        **kw,
+    }
+    c = Config(model=model, dataset="tiny", config_dict=cd)
+    ds = create_dataset(c)
+    return c, data_preparation(c, ds)
+
+
+def test_pairwise_train_loader_neg_columns(tiny_data_path):
+    c, (train, valid, test) = _prep(tiny_data_path)
+    batch = next(iter(train))
+    assert "neg_item_id" in batch  # pairwise expansion
+    # negatives exclude the user's train positives
+    assert (np.asarray(batch["neg_item_id"]) >= 1).all()
+
+
+def test_pointwise_train_loader_labels(tiny_data_path):
+    c, (train, valid, test) = _prep(tiny_data_path, model="NFCF")
+    # NFCF is pointwise: label column with 1s then 0s per batch
+    batch = next(iter(train))
+    labels = np.asarray(batch["label"])
+    n_pos = int(labels.sum())
+    assert (labels[:n_pos] == 1).all() and (labels[n_pos:] == 0).all()
+
+
+def test_train_loader_batch_math(tiny_data_path):
+    c, (train, valid, test) = _prep(tiny_data_path, train_batch_size=100)
+    # pairwise times=1: step=100
+    assert train.step == 100
+    total = sum(len(b) for b in train)
+    assert total == len(train.dataset)
+
+
+def test_eval_loader_user_grouping(tiny_data_path):
+    c, (train, valid, test) = _prep(tiny_data_path)
+    for inter, row_idx, pos_u, pos_i in valid:
+        # per-user row blocks: each user's rows contiguous, 101 per positive
+        counts = np.bincount(np.asarray(row_idx))
+        counts = counts[counts > 0]
+        assert (counts % 101 == 0).all()
+
+
+def test_full_sort_loader_structures(tiny_data_path):
+    c, (train, valid, test) = _prep(
+        tiny_data_path,
+        eval_args={"split": {"RS": [8, 1, 1]}, "order": "RO", "group_by": "user", "mode": "full"},
+    )
+    user_df, (hist_u, hist_i), pos_u, pos_i = next(iter(test))
+    # history = used - positive: no overlap with positives of the same user
+    pairs_hist = set(zip(hist_u.tolist(), hist_i.tolist()))
+    pairs_pos = set(zip(pos_u.tolist(), pos_i.tolist()))
+    assert not (pairs_hist & pairs_pos)
+
+
+def test_user_dataloader(tiny_data_path):
+    from recbole_fairrec_tpu.data.dataloader import UserDataLoader
+
+    cd = {
+        "data_path": str(tiny_data_path),
+        "load_col": {"inter": ["user_id", "item_id", "rating"], "user": ["user_id", "gender"]},
+    }
+    c = Config(model="FOCF", dataset="tiny", config_dict=cd)
+    ds = Dataset(c)
+    loader = UserDataLoader(c, ds, None, shuffle=True)
+    seen = np.concatenate([np.asarray(b["user_id"]) for b in loader])
+    assert sorted(seen.tolist()) == list(range(ds.user_num))
+
+
+def test_focf_loader_item_grouped(tiny_data_path):
+    cd = {
+        "data_path": str(tiny_data_path),
+        "load_col": {"inter": ["user_id", "item_id", "rating"], "user": ["user_id", "gender"]},
+        "train_batch_size": 64,
+    }
+    c = Config(model="FOCF", dataset="tiny", config_dict=cd)
+    ds = create_dataset(c)
+    train, valid, test = data_preparation(c, ds)
+    batch = next(iter(train))
+    # every drawn item appears with ALL its interactions: count in batch ==
+    # count in dataset
+    items = np.asarray(batch["item_id"])
+    all_items = np.asarray(train.dataset.inter_feat["item_id"])
+    for it in np.unique(items):
+        assert (items == it).sum() == (all_items == it).sum()
