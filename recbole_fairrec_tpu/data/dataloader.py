@@ -92,6 +92,14 @@ class NegSampleDataLoader(AbstractDataLoader):
         self.dl_format = dl_format
         self.neg_sample_args = neg_sample_args
         self.times = 1
+        # on-device sampling supported for the pairwise 1-negative shape
+        self.device_neg_sampling = bool(
+            config["device_neg_sampling"]
+            and dl_format == InputType.PAIRWISE
+            and neg_sample_args.get("strategy") == "by"
+            and neg_sample_args.get("by") == 1
+            and neg_sample_args.get("dynamic", "none") in (None, "none")
+        )
         if self.neg_sample_args["strategy"] == "by":
             self.neg_sample_num = self.neg_sample_args["by"]
             if self.dl_format == InputType.POINTWISE:
@@ -123,6 +131,10 @@ class NegSampleDataLoader(AbstractDataLoader):
             )
 
     def _neg_sampling(self, inter_feat: Interaction) -> Interaction:
+        if getattr(self, "device_neg_sampling", False):
+            # negatives are drawn inside the jitted train step
+            # (ops/neg_sampling.py); the loader ships raw positives only
+            return inter_feat
         if self.neg_sample_args.get("dynamic", "none") not in (None, "none"):
             return self._dynamic_neg_sampling(inter_feat)
         if self.neg_sample_args["strategy"] == "by":

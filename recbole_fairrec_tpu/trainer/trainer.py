@@ -218,8 +218,26 @@ class Trainer(AbstractTrainer):
         model = self.model
         tx = self._tx_by_tag(tx_tag)
         loss_method = getattr(model, loss_name)
+        used_keys = getattr(self, "_device_used_keys", None)
+        inject_negs = (
+            used_keys is not None
+            and loss_name == "calculate_loss"
+            and hasattr(model, "NEG_ITEM_ID")
+        )
+        if inject_negs:
+            from ..ops.neg_sampling import sample_negatives
+
+            uid_field, neg_field = model.USER_ID, model.NEG_ITEM_ID
+            n_items = model.n_items
 
         def update(params, model_state, opt_state, rng, batch):
+            if inject_negs:
+                rng, neg_rng = jax.random.split(rng)
+                negs = sample_negatives(
+                    neg_rng, batch[uid_field], used_keys, n_items, num_neg=1
+                )
+                batch = {**batch, neg_field: negs.astype(jnp.int32)}
+
             def loss_fn(p):
                 loss, new_state = loss_method(p, model_state, batch, rng=rng, sst_list=sst_list)
                 return loss, new_state
@@ -420,6 +438,16 @@ class Trainer(AbstractTrainer):
         self.eval_collector.data_collect(train_data)
         if self.config["train_neg_sample_args"].get("dynamic", "none") != "none":
             train_data.get_model(self)
+        if getattr(train_data, "device_neg_sampling", False):
+            from ..ops.neg_sampling import build_used_keys
+
+            ds = train_data.dataset
+            self._device_used_keys = build_used_keys(
+                np.asarray(ds.inter_feat[ds.uid_field]),
+                np.asarray(ds.inter_feat[ds.iid_field]),
+                ds.item_num,
+            )
+            self.logger.info("on-device negative sampling enabled")
         valid_step = 0
 
         for epoch_idx in range(self.start_epoch, self.epochs):

@@ -143,3 +143,25 @@ def test_focf_loader_item_grouped(tiny_data_path):
     all_items = np.asarray(train.dataset.inter_feat["item_id"])
     for it in np.unique(items):
         assert (items == it).sum() == (all_items == it).sum()
+
+
+def test_device_neg_sampling_end_to_end(tiny_data_path, tmp_path):
+    """Opt-in on-device sampling: loader ships raw positives, negatives are
+    drawn inside the jitted update, training still converges."""
+    from recbole_fairrec_tpu import run_recbole
+
+    res = run_recbole(
+        model="PFCN_PMF", dataset="tiny",
+        config_dict={
+            "data_path": str(tiny_data_path),
+            "load_col": {"inter": ["user_id", "item_id", "rating"], "user": ["user_id", "gender"]},
+            "threshold": {"rating": 3.0},
+            "epochs": 2, "train_batch_size": 128, "eval_batch_size": 2048,
+            "show_progress": False, "state": "ERROR",
+            "checkpoint_dir": str(tmp_path / "saved"),
+            "device_neg_sampling": True,
+            "filter_mode": "none", "save_sst_embed": False,
+        },
+    )
+    flat = res["test_result"]["none"] if "none" in res["test_result"] else res["test_result"]
+    assert any("ndcg@5" in k for k in flat)
