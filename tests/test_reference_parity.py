@@ -26,8 +26,10 @@ def ref_metrics():
             sys.modules[mod] = types.ModuleType(mod)
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
-    np.float = float  # the reference predates numpy 2.0
-    np.bool = bool
+    # the reference predates numpy 2.0; np.float is gone but np.bool exists
+    # again in numpy 2 and must NOT be overwritten
+    if not hasattr(np, "float"):
+        np.float = float
     try:
         import torch  # noqa: F401
         from recbole.evaluator import metrics as ref_m
