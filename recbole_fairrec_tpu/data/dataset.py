@@ -74,11 +74,25 @@ class Dataset:
                 f"dataset path [{dataset_path}] does not exist; automatic download "
                 "is not available in this environment — place the atomic files there"
             )
-        self.inter_feat = self._load_feat(
-            os.path.join(dataset_path, f"{token}.inter"), FeatureSource.INTERACTION
-        )
-        if self.inter_feat is None:
-            raise ValueError(f"File {token}.inter not exist or empty.")
+        if self.benchmark_filename_list is None:
+            self.inter_feat = self._load_feat(
+                os.path.join(dataset_path, f"{token}.inter"), FeatureSource.INTERACTION
+            )
+            if self.inter_feat is None:
+                raise ValueError(f"File {token}.inter not exist or empty.")
+        else:
+            # pre-split benchmark files <token>.<name>.inter, concatenated
+            # with per-part sizes recorded for build() (reference :273-289)
+            parts, sizes = [], []
+            for name in self.benchmark_filename_list:
+                path = os.path.join(dataset_path, f"{token}.{name}.inter")
+                if not os.path.isfile(path):
+                    raise ValueError(f"File {path} not exist.")
+                part = self._load_feat(path, FeatureSource.INTERACTION)
+                parts.append(part)
+                sizes.append(len(part))
+            self.inter_feat = pd.concat(parts, ignore_index=True)
+            self.file_size_list = sizes
         self.user_feat = self._maybe_load(token, dataset_path, FeatureSource.USER, "user")
         self.item_feat = self._maybe_load(token, dataset_path, FeatureSource.ITEM, "item")
         if self.user_feat is not None and self.uid_field is None:

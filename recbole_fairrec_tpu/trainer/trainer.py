@@ -314,10 +314,14 @@ class Trainer(AbstractTrainer):
                 self.params, self.model_state, self._opt_state_by_tag(tx_tag), step_rng, batch
             )
             self._set_opt_state_by_tag(tx_tag, new_opt)
-            loss_val = float(loss)
-            self._check_nan(loss_val)
-            total_loss = loss_val if total_loss is None else total_loss + loss_val
-        return total_loss
+            # accumulate on device — a float() here would force a round-trip
+            # per step and serialize the dispatch pipeline
+            total_loss = loss if total_loss is None else total_loss + loss
+        if total_loss is None:
+            return None
+        total = float(total_loss)  # single sync per epoch
+        self._check_nan(total)
+        return total
 
     def _train_epoch(self, train_data, epoch_idx, loss_func=None, show_progress=False):
         return self._run_epoch(train_data, loss_name=loss_func or "calculate_loss")
@@ -450,9 +454,19 @@ class Trainer(AbstractTrainer):
             self.logger.info("on-device negative sampling enabled")
         valid_step = 0
 
+        profile_dir = self.config["profile_dir"]
         for epoch_idx in range(self.start_epoch, self.epochs):
+            # capture an XLA/device trace of the first trained epoch
+            # (SURVEY.md §5: jax.profiler replaces the reference's tqdm
+            # GPU-RAM postfix as the tracing story)
+            profiling = profile_dir and epoch_idx == self.start_epoch
+            if profiling:
+                jax.profiler.start_trace(profile_dir)
             training_start_time = time()
             train_loss = self._train_epoch(train_data, epoch_idx, show_progress=show_progress)
+            if profiling:
+                jax.profiler.stop_trace()
+                self.logger.info(f"profiler trace written to {profile_dir}")
             self.train_loss_dict[epoch_idx] = (
                 sum(train_loss) if isinstance(train_loss, tuple) else train_loss
             )

@@ -128,3 +128,34 @@ def test_native_reader_matches_pandas(tiny_data_path):
             np.testing.assert_array_equal(
                 np.asarray(a[col].values), np.asarray(b[col].values), err_msg=f"{name}.{col}"
             )
+
+
+def test_benchmark_filename_splits(tmp_path):
+    """Pre-split <name>.<part>.inter files drive build() directly
+    (reference dataset.py:273-289, :1476-1479)."""
+    import os
+
+    ddir = tmp_path / "bm"
+    ddir.mkdir()
+    header = "user_id:token\titem_id:token\trating:float\n"
+    rows = {
+        "train": [(1, 1, 5), (1, 2, 4), (2, 1, 3), (2, 3, 5), (3, 2, 2)],
+        "valid": [(1, 3, 4), (2, 2, 1)],
+        "test": [(3, 1, 5)],
+    }
+    for part, rs in rows.items():
+        with open(ddir / f"bm.{part}.inter", "w") as f:
+            f.write(header)
+            for u, i, r in rs:
+                f.write(f"{u}\t{i}\t{r}\n")
+    c = tiny_config(
+        str(tmp_path), dataset="bm",
+        benchmark_filename=["train", "valid", "test"],
+        load_col={"inter": ["user_id", "item_id", "rating"]},
+    )
+    c.final_config_dict["dataset"] = "bm"
+    c.final_config_dict["data_path"] = str(ddir)
+    ds = Dataset(c)
+    assert ds.file_size_list == [5, 2, 1]
+    train, valid, test = ds.build()
+    assert (len(train), len(valid), len(test)) == (5, 2, 1)
