@@ -81,6 +81,13 @@ class AbstractDataLoader:
         """Register the live model for dynamic (hard) negative sampling."""
         self.model = model
 
+    @property
+    def max_batch_rows(self):
+        """Upper bound on rows any batch of this loader can produce — the
+        trainer pads every batch to this so XLA compiles exactly one train
+        shape."""
+        return self.batch_size
+
 
 class NegSampleDataLoader(AbstractDataLoader):
     def __init__(self, config, dataset, sampler, shuffle=True):
@@ -435,6 +442,13 @@ class FOCFDataLoader(TrainDataLoader):
         self._item_uniques = iids[boundaries]
         self._item_starts = boundaries
         self._item_ends = np.append(boundaries[1:], len(iids))
+        self._max_group = int((self._item_ends - self._item_starts).max())
+
+    @property
+    def max_batch_rows(self):
+        # a batch stops once >= step rows are taken, so the worst case is
+        # step-1 rows plus one whole item group
+        return self.step - 1 + self._max_group
 
     @property
     def pr_end(self):

@@ -143,11 +143,15 @@ def apply_mlp(
     rng=None,
     bn_momentum=0.1,
     bn_eps=1e-5,
+    sample_weight=None,
 ):
     """Forward an MLPLayers stack.
 
     Returns ``(y, new_state)`` — ``new_state`` echoes the input state at eval
-    or carries updated BN running stats at train.
+    or carries updated BN running stats at train. ``sample_weight`` ([B] 1/0)
+    restricts BatchNorm batch statistics to real rows — padded rows would
+    otherwise poison the variance (a tail batch padded 10× collapses var→0,
+    and the resulting amplification overflows deep BN stacks).
     """
     use_bn = "bn" in params
     state = state or {}
@@ -166,10 +170,17 @@ def apply_mlp(
             gamma, beta = params["bn"][i]["gamma"], params["bn"][i]["beta"]
             run = state["bn"][i]
             if train:
-                mean = jnp.mean(x, axis=0)
-                var = jnp.var(x, axis=0)
-                n = x.shape[0]
-                unbiased = var * n / max(n - 1, 1)
+                if sample_weight is not None:
+                    w = sample_weight.astype(x.dtype)[:, None]
+                    n = jnp.maximum(jnp.sum(w), 1.0)
+                    mean = jnp.sum(x * w, axis=0) / n
+                    var = jnp.sum(w * (x - mean) ** 2, axis=0) / n
+                    unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                else:
+                    mean = jnp.mean(x, axis=0)
+                    var = jnp.var(x, axis=0)
+                    n = x.shape[0]
+                    unbiased = var * n / max(n - 1, 1)
                 new_bn_state.append(
                     {
                         "mean": (1 - bn_momentum) * run["mean"] + bn_momentum * mean,

@@ -119,7 +119,8 @@ class PFCNBase(FairRecommender):
 
     # -------------------------------------------------------------- filters
 
-    def _apply_filters(self, params, state, user_embed, sst_list, train, rng):
+    def _apply_filters(self, params, state, user_embed, sst_list, train, rng,
+                       sample_weight=None):
         """Filtered user embedding per filter_mode; returns (embed, state')."""
         new_state = dict(state)
         if self.filter_mode == "none" or not sst_list:
@@ -131,7 +132,7 @@ class PFCNBase(FairRecommender):
             out, st = apply_mlp(
                 params["filters"][key], user_embed,
                 activation=self.activation, state=filt_state[key],
-                train=train, rng=rng,
+                train=train, rng=rng, sample_weight=sample_weight,
             )
             filt_state[key] = st
         else:  # cm: average over selected filters, divide by TOTAL count
@@ -141,7 +142,7 @@ class PFCNBase(FairRecommender):
                 o, st = apply_mlp(
                     params["filters"][key], user_embed,
                     activation=self.activation, state=filt_state[key],
-                    train=train, rng=rng,
+                    train=train, rng=rng, sample_weight=sample_weight,
                 )
                 filt_state[key] = st
                 out = o if out is None else out + o
@@ -162,7 +163,7 @@ class PFCNBase(FairRecommender):
             out, st = apply_mlp(
                 params["discriminators"][sst], user_embed,
                 activation=self._dis_activation(), dropout=self.dis_drop_out,
-                state=dis_state[sst], train=train, rng=r,
+                state=dis_state[sst], train=train, rng=r, sample_weight=w,
             )
             dis_state[sst] = st
             if self.sst_size[sst] == 2:
@@ -175,11 +176,13 @@ class PFCNBase(FairRecommender):
 
     # ----------------------------------------------------- model API pieces
 
-    def _user_item_embed(self, params, state, user, item, sst_list, train, rng):
+    def _user_item_embed(self, params, state, user, item, sst_list, train, rng,
+                         sample_weight=None):
         """Backbone-specific: returns (user_repr, item_repr, state')."""
         raise NotImplementedError
 
-    def _pairwise_scores(self, params, state, batch, user, pos_item, neg_item, sst_list, train, rng):
+    def _pairwise_scores(self, params, state, batch, user, pos_item, neg_item,
+                         sst_list, train, rng, sample_weight=None):
         """Backbone-specific raw (pos_score, neg_score, state') for BPR."""
         raise NotImplementedError
 
@@ -190,10 +193,11 @@ class PFCNBase(FairRecommender):
         r1, r2, r3 = (
             jax.random.split(rng, 3) if rng is not None else (None, None, None)
         )
+        w = batch_weights(batch, user.astype(jnp.float32))
         pos_s, neg_s, state = self._pairwise_scores(
-            params, state, batch, user, pos_item, neg_item, sst_list, True, r1
+            params, state, batch, user, pos_item, neg_item, sst_list, True, r1,
+            sample_weight=w,
         )
-        w = batch_weights(batch, pos_s)
         loss = wmean(-jnp.log(1e-10 + jax.nn.sigmoid(pos_s - neg_s)), w)
         if self.filter_mode != "none":
             dis, state = self._dis_from_batch(params, state, batch, sst_list, True, r2, w)
@@ -202,18 +206,19 @@ class PFCNBase(FairRecommender):
 
     def calculate_dis_loss(self, params, state, batch, rng=None, sst_list=None):
         user = batch[self.USER_ID]
+        w = batch_weights(batch, user.astype(jnp.float32))
         r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
         user_repr, _, state = self._user_item_embed(
-            params, state, user, None, sst_list, True, r1
+            params, state, user, None, sst_list, True, r1, sample_weight=w
         )
-        w = batch_weights(batch, user_repr[:, 0])
         loss, state = self._dis_loss(params, state, user_repr, batch, sst_list, True, r2, w)
         return loss, state
 
     def _dis_from_batch(self, params, state, batch, sst_list, train, rng, w):
         r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
         user_repr, _, state = self._user_item_embed(
-            params, state, batch[self.USER_ID], None, sst_list, train, r1
+            params, state, batch[self.USER_ID], None, sst_list, train, r1,
+            sample_weight=w,
         )
         return self._dis_loss(params, state, user_repr, batch, sst_list, train, r2, w)
 

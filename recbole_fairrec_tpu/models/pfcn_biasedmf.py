@@ -31,15 +31,19 @@ class PFCN_BiasedMF(PFCNBase):
     def _backbone_param_keys(self):
         return ["user_embedding", "item_embedding", "user_bias", "item_bias", "global_bias"]
 
-    def _user_item_embed(self, params, state, user, item, sst_list, train, rng):
+    def _user_item_embed(self, params, state, user, item, sst_list, train, rng,
+                         sample_weight=None):
         user_e = params["user_embedding"][user]
         item_e = params["item_embedding"][item] if item is not None else None
-        user_e, state = self._apply_filters(params, state, user_e, sst_list, train, rng)
+        user_e, state = self._apply_filters(
+            params, state, user_e, sst_list, train, rng, sample_weight
+        )
         return user_e, item_e, state
 
-    def _pairwise_scores(self, params, state, batch, user, pos_item, neg_item, sst_list, train, rng):
+    def _pairwise_scores(self, params, state, batch, user, pos_item, neg_item,
+                         sst_list, train, rng, sample_weight=None):
         user_e, pos_e, state = self._user_item_embed(
-            params, state, user, pos_item, sst_list, train, rng
+            params, state, user, pos_item, sst_list, train, rng, sample_weight
         )
         neg_e = params["item_embedding"][neg_item]
         user_b = params["user_bias"][user][:, 0]

@@ -61,19 +61,23 @@ class PFCN_DMF(PFCNBase):
         )
         return out
 
-    def _user_item_embed(self, params, state, user, item, sst_list, train, rng):
+    def _user_item_embed(self, params, state, user, item, sst_list, train, rng,
+                         sample_weight=None):
         r1, r2, r3 = jax.random.split(rng, 3) if rng is not None else (None, None, None)
         user_e = self._tower(params, "user_mlp", params["user_embedding"][user], train, r1)
         item_e = None
         if item is not None:
             item_e = self._tower(params, "item_mlp", params["item_embedding"][item], train, r2)
-        user_e, state = self._apply_filters(params, state, user_e, sst_list, train, r3)
+        user_e, state = self._apply_filters(
+            params, state, user_e, sst_list, train, r3, sample_weight
+        )
         return user_e, item_e, state
 
-    def _pairwise_scores(self, params, state, batch, user, pos_item, neg_item, sst_list, train, rng):
+    def _pairwise_scores(self, params, state, batch, user, pos_item, neg_item,
+                         sst_list, train, rng, sample_weight=None):
         r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
         user_e, pos_e, state = self._user_item_embed(
-            params, state, user, pos_item, sst_list, train, r1
+            params, state, user, pos_item, sst_list, train, r1, sample_weight
         )
         neg_e = self._tower(params, "item_mlp", params["item_embedding"][neg_item], train, r2)
         pos_s = _cosine(user_e, pos_e) * 10

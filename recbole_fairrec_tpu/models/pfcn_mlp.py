@@ -38,10 +38,13 @@ class PFCN_MLP(PFCNBase):
     def _backbone_param_keys(self):
         return ["user_embedding", "item_embedding", "mlp"]
 
-    def _user_item_embed(self, params, state, user, item, sst_list, train, rng):
+    def _user_item_embed(self, params, state, user, item, sst_list, train, rng,
+                         sample_weight=None):
         user_e = params["user_embedding"][user]
         item_e = params["item_embedding"][item] if item is not None else None
-        user_e, state = self._apply_filters(params, state, user_e, sst_list, train, rng)
+        user_e, state = self._apply_filters(
+            params, state, user_e, sst_list, train, rng, sample_weight
+        )
         return user_e, item_e, state
 
     def _mlp_score(self, params, user_e, item_e, train, rng):
@@ -51,10 +54,11 @@ class PFCN_MLP(PFCNBase):
         )
         return out[:, 0]
 
-    def _pairwise_scores(self, params, state, batch, user, pos_item, neg_item, sst_list, train, rng):
+    def _pairwise_scores(self, params, state, batch, user, pos_item, neg_item,
+                         sst_list, train, rng, sample_weight=None):
         r1, r2, r3 = jax.random.split(rng, 3) if rng is not None else (None, None, None)
         user_e, pos_e, state = self._user_item_embed(
-            params, state, user, pos_item, sst_list, train, r1
+            params, state, user, pos_item, sst_list, train, r1, sample_weight
         )
         neg_e = params["item_embedding"][neg_item]
         pos_s = self._mlp_score(params, user_e, pos_e, train, r2)

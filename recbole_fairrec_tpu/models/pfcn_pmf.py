@@ -28,15 +28,19 @@ class PFCN_PMF(PFCNBase):
     def _backbone_param_keys(self):
         return ["user_embedding", "item_embedding"]
 
-    def _user_item_embed(self, params, state, user, item, sst_list, train, rng):
+    def _user_item_embed(self, params, state, user, item, sst_list, train, rng,
+                         sample_weight=None):
         user_e = params["user_embedding"][user]
         item_e = params["item_embedding"][item] if item is not None else None
-        user_e, state = self._apply_filters(params, state, user_e, sst_list, train, rng)
+        user_e, state = self._apply_filters(
+            params, state, user_e, sst_list, train, rng, sample_weight
+        )
         return user_e, item_e, state
 
-    def _pairwise_scores(self, params, state, batch, user, pos_item, neg_item, sst_list, train, rng):
+    def _pairwise_scores(self, params, state, batch, user, pos_item, neg_item,
+                         sst_list, train, rng, sample_weight=None):
         user_e, pos_e, state = self._user_item_embed(
-            params, state, user, pos_item, sst_list, train, rng
+            params, state, user, pos_item, sst_list, train, rng, sample_weight
         )
         neg_e = params["item_embedding"][neg_item]
         pos_s = jnp.sum(user_e * pos_e, axis=-1)

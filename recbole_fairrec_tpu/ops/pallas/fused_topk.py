@@ -45,20 +45,36 @@ def _merge_topk_kernel(u_ref, items_ref, out_s_ref, out_i_ref, s_scratch, i_scra
     valid = (col_ids != 0) & (col_ids < n_items)
     scores = jnp.where(valid, scores, -jnp.inf)
 
-    # selection merge: k passes of (max, argmax, mask) over [tile + k] cands
-    cand_s = jnp.concatenate([s_scratch[:], scores], axis=1)
-    cand_i = jnp.concatenate([i_scratch[:], col_ids], axis=1)
-    B = cand_s.shape[0]
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, cand_s.shape, 1)
+    # phase 1 — tile-local top-k: k selection passes over the lane-aligned
+    # [B, item_tile] block (max, argmax-free masking via the max value)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    tile_s = []
+    tile_i = []
+    for _ in range(top_k):
+        best = jnp.max(scores, axis=1)
+        # position of the FIRST occurrence of the max
+        is_best = scores == best[:, None]
+        first_pos = jnp.min(jnp.where(is_best, row_iota, item_tile), axis=1)
+        tile_s.append(best)
+        tile_i.append(col0 + first_pos)
+        scores = jnp.where(row_iota == first_pos[:, None], -jnp.inf, scores)
+    tile_s = jnp.stack(tile_s, axis=1)  # [B, k]
+    tile_i = jnp.stack(tile_i, axis=1).astype(jnp.int32)
+
+    # phase 2 — merge tile top-k with the running top-k over [B, 2k]
+    cand_s = jnp.concatenate([s_scratch[:], tile_s], axis=1)
+    cand_i = jnp.concatenate([i_scratch[:], tile_i], axis=1)
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, cand_s.shape, 1)
     for j in range(top_k):
         best = jnp.max(cand_s, axis=1)
-        best_pos = jnp.argmax(cand_s, axis=1)
-        gather_i = jnp.sum(
-            jnp.where(row_iota == best_pos[:, None], cand_i, 0), axis=1
+        is_best = cand_s == best[:, None]
+        first_pos = jnp.min(jnp.where(is_best, iota2, 2 * top_k), axis=1)
+        picked_i = jnp.sum(
+            jnp.where(iota2 == first_pos[:, None], cand_i, 0), axis=1
         )
         s_scratch[:, j] = best
-        i_scratch[:, j] = gather_i
-        cand_s = jnp.where(row_iota == best_pos[:, None], -jnp.inf, cand_s)
+        i_scratch[:, j] = picked_i
+        cand_s = jnp.where(iota2 == first_pos[:, None], -jnp.inf, cand_s)
 
     @pl.when(i_tile == n_item_tiles - 1)
     def _():

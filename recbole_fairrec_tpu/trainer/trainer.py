@@ -303,7 +303,8 @@ class Trainer(AbstractTrainer):
         optimizer) selection — each distinct triple is its own compiled
         executable."""
         total_loss = None
-        canonical = train_data.batch_size
+        canonical = getattr(train_data, "max_batch_rows", None) or train_data.batch_size
+        canonical = _bucket(canonical)
         for batch_idx, interaction in enumerate(train_data):
             n = len(interaction)
             pad_to = canonical if n <= canonical else _bucket(n)
