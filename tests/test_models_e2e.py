@@ -116,3 +116,27 @@ def test_nfcf_pretrain_then_debias(tiny_data_path, tmp_path):
             if not np.allclose(np.asarray(pre)[1:], np.asarray(post)[1:]):
                 projected = True
         assert projected
+
+
+def test_pfcn_multi_attribute_subsets(tiny_data_path, tmp_path):
+    """Two sensitive attributes: sm mode builds 2^2-1=3 filters, eval
+    enumerates all non-empty subsets, age gets a multiclass discriminator
+    (reference trainer.py:1047-1106, pfcn_mlp.py:122-143)."""
+    res = _run(
+        "PFCN_PMF", tiny_data_path, tmp_path,
+        load_col={"inter": ["user_id", "item_id", "rating"],
+                  "user": ["user_id", "gender", "age"]},
+        sst_attr_list=["gender", "age"],
+        filter_mode="sm", train_epoch_interval=2, save_sst_embed=True,
+        metrics=["NDCG", "Recall", "Hit", "MRR", "NonParityUnfairness"],
+    )
+    keys = list(res["test_result"].keys())
+    # subsets: [gender], [age], [gender, age]
+    assert len(keys) == 3
+    assert any("gender" in k and "age" not in k for k in keys)
+    assert any("age" in k and "gender" not in k for k in keys)
+    assert any("gender" in k and "age" in k for k in keys)
+    import glob
+
+    exports = glob.glob(str(tmp_path / "saved" / "PFCN_PMF_embed-sm-*.pth"))
+    assert len(exports) == 3  # one per subset
