@@ -113,6 +113,10 @@ class FairRecommender(AbstractRecommender):
         self.n_users = dataset.num(self.USER_ID)
         self.n_items = dataset.num(self.ITEM_ID)
         self.config = config
+        # bf16 matmuls on the MXU (params stay f32; accumulation f32)
+        self.compute_dtype = (
+            jnp.bfloat16 if (config["compute_dtype"] == "bfloat16") else jnp.float32
+        )
 
     def calculate_dis_loss(self, params, state, batch, rng=None, sst_list=None):
         """Discriminator objective for adversarial models."""

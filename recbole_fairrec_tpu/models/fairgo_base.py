@@ -263,7 +263,11 @@ class FairGoBase(FairRecommender):
 
     def full_sort_predict(self, params, state, batch, sst_list=None):
         user_all, item_all = self.forward(params, state, tuple(self.sst_attrs))
-        scores = user_all[batch[self.USER_ID]] @ item_all.T
+        cd = self.compute_dtype
+        scores = jnp.dot(
+            user_all[batch[self.USER_ID]].astype(cd), item_all.T.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
         return jnp.clip(scores.reshape(-1), 0.0, self.max_rating) / self.max_rating
 
     def get_sst_embed(self, params, state, user_data, sst_list=None):

@@ -121,6 +121,10 @@ class FOCF(FairRecommender):
         return jnp.clip(pred, 0.0, self.max_rating) / self.max_rating
 
     def full_sort_predict(self, params, state, batch, sst_list=None):
-        user_e = params["user_embedding"][batch[self.USER_ID]]
-        scores = user_e @ params["item_embedding"].T
+        cd = self.compute_dtype
+        user_e = params["user_embedding"][batch[self.USER_ID]].astype(cd)
+        scores = jnp.dot(
+            user_e, params["item_embedding"].T.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
         return jnp.clip(scores, 0.0, self.max_rating).reshape(-1) / self.max_rating

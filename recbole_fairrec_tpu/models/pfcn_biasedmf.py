@@ -69,8 +69,10 @@ class PFCN_BiasedMF(PFCNBase):
     def full_sort_predict(self, params, state, batch, sst_list=None):
         user = batch[self.USER_ID]
         user_e, _, _ = self._user_item_embed(params, state, user, None, sst_list, False, None)
+        cd = self.compute_dtype
         scores = (
-            user_e @ params["item_embedding"].T
+            jnp.dot(user_e.astype(cd), params["item_embedding"].T.astype(cd),
+                    preferred_element_type=jnp.float32)
             + params["user_bias"][user]
             + params["item_bias"][:, 0][None, :]
             + params["global_bias"]

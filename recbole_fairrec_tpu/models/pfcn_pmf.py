@@ -57,5 +57,9 @@ class PFCN_PMF(PFCNBase):
         user_e, _, _ = self._user_item_embed(
             params, state, batch[self.USER_ID], None, sst_list, False, None
         )
-        scores = user_e @ params["item_embedding"].T
+        cd = self.compute_dtype
+        scores = jnp.dot(
+            user_e.astype(cd), params["item_embedding"].T.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
         return jax.nn.sigmoid(scores).reshape(-1)
