@@ -759,24 +759,17 @@ class Trainer(AbstractTrainer):
         target_rows = self.config["eval_macro_rows"] or 131_072
 
         buf = []
-        users = rows = 0
+        acc = 0  # users (full mode) or candidate rows (sampled mode)
         for batched_data in eval_data:
             if kind != "full" and batched_data[1] is None:
                 yield batched_data  # labeled mode: nothing to merge
                 continue
             buf.append(batched_data)
-            n_users = len(batched_data[0])
-            users += n_users
-            rows += len(batched_data[0]) if kind == "full" else len(batched_data[0])
-            if kind == "full":
-                if users >= max_users:
-                    yield self._merge_batches(buf, kind)
-                    buf, users, rows = [], 0, 0
-            else:
-                rows = sum(len(b[0]) for b in buf)
-                if rows >= target_rows:
-                    yield self._merge_batches(buf, kind)
-                    buf, users, rows = [], 0, 0
+            acc += len(batched_data[0])
+            limit = max_users if kind == "full" else target_rows
+            if acc >= limit:
+                yield self._merge_batches(buf, kind)
+                buf, acc = [], 0
         if buf:
             yield self._merge_batches(buf, kind)
 
