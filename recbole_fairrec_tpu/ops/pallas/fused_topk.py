@@ -16,6 +16,12 @@ PAD masking: global item index 0 is forced to −inf (the reference's
 ``scores[:, 0] = -inf``). History masking is done by the caller on the
 returned candidates (retrieve k + max_history then filter — the standard
 streaming-retrieval trick).
+
+Precision: the MXU computes f32 matmuls in bf16 passes by default, which can
+flip the order of items whose scores differ by < ~1e-4 (verified on-chip:
+top-9/10 identical to a float64 reference, boundary item occasionally
+swapped). Pass ``precision="highest"`` for 3-pass exact-f32 ranking at ~3×
+matmul cost.
 """
 
 from __future__ import annotations
@@ -29,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _merge_topk_kernel(u_ref, items_ref, out_s_ref, out_i_ref, s_scratch, i_scratch,
-                       *, top_k, item_tile, n_items):
+                       *, top_k, item_tile, n_items, precision):
     i_tile = pl.program_id(1)
     n_item_tiles = pl.num_programs(1)
 
@@ -38,7 +44,10 @@ def _merge_topk_kernel(u_ref, items_ref, out_s_ref, out_i_ref, s_scratch, i_scra
         s_scratch[:] = jnp.full_like(s_scratch, -jnp.inf)
         i_scratch[:] = jnp.zeros_like(i_scratch)
 
-    scores = jnp.dot(u_ref[:], items_ref[:].T, preferred_element_type=jnp.float32)
+    scores = jnp.dot(
+        u_ref[:], items_ref[:].T,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
     col0 = i_tile * item_tile
     col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     # force [PAD] column and padded tail to -inf
@@ -83,10 +92,12 @@ def _merge_topk_kernel(u_ref, items_ref, out_s_ref, out_i_ref, s_scratch, i_scra
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "user_tile", "item_tile", "interpret")
+    jax.jit,
+    static_argnames=("top_k", "user_tile", "item_tile", "interpret", "precision"),
 )
 def fused_topk_scores(
-    user_emb, item_table, top_k, user_tile=256, item_tile=1024, interpret=False
+    user_emb, item_table, top_k, user_tile=256, item_tile=1024, interpret=False,
+    precision=None,
 ):
     """Fused masked score + top-k over the whole catalog.
 
@@ -117,7 +128,8 @@ def fused_topk_scores(
 
     grid = (Bp // user_tile, Ip // item_tile)
     kernel = functools.partial(
-        _merge_topk_kernel, top_k=top_k, item_tile=item_tile, n_items=I
+        _merge_topk_kernel, top_k=top_k, item_tile=item_tile, n_items=I,
+        precision=precision,
     )
     out_s, out_i = pl.pallas_call(
         kernel,
