@@ -66,6 +66,17 @@ class PFCN_BiasedMF(PFCNBase):
         )
         return jax.nn.sigmoid(score)
 
+    def retrieval_embeddings(self, params, state, batch, sst_list=None):
+        """Bias-augmented retrieval form: user⧺[1] · item⧺[b_i] differs from
+        the sigmoid score only by the per-row constant b_u + b_g, so the
+        per-user ranking is identical."""
+        user = batch[self.USER_ID]
+        user_e, _, _ = self._user_item_embed(params, state, user, None, sst_list, False, None)
+        ones = jnp.ones((user_e.shape[0], 1), user_e.dtype)
+        u = jnp.concatenate([user_e, ones], axis=1)
+        t = jnp.concatenate([params["item_embedding"], params["item_bias"]], axis=1)
+        return u, t
+
     def full_sort_predict(self, params, state, batch, sst_list=None):
         user = batch[self.USER_ID]
         user_e, _, _ = self._user_item_embed(params, state, user, None, sst_list, False, None)

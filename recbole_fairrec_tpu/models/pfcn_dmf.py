@@ -90,6 +90,18 @@ class PFCN_DMF(PFCNBase):
         )
         return jax.nn.sigmoid(_cosine(user_e, item_e))
 
+    def retrieval_embeddings(self, params, state, batch, sst_list=None):
+        """Normalized tower outputs: cosine == dot of unit vectors."""
+        user_e, _, _ = self._user_item_embed(
+            params, state, batch[self.USER_ID], None, sst_list, False, None
+        )
+        all_item_e = self._tower(params, "item_mlp", params["item_embedding"], False, None)
+        un = user_e / jnp.maximum(jnp.linalg.norm(user_e, axis=-1, keepdims=True), 1e-8)
+        inorm = all_item_e / jnp.maximum(
+            jnp.linalg.norm(all_item_e, axis=-1, keepdims=True), 1e-8
+        )
+        return un, inorm
+
     def full_sort_predict(self, params, state, batch, sst_list=None):
         user_e, _, _ = self._user_item_embed(
             params, state, batch[self.USER_ID], None, sst_list, False, None

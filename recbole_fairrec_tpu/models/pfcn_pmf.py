@@ -53,6 +53,14 @@ class PFCN_PMF(PFCNBase):
         )
         return jax.nn.sigmoid(jnp.sum(user_e * item_e, axis=-1))
 
+    def retrieval_embeddings(self, params, state, batch, sst_list=None):
+        """(user_repr, item_table) whose dot product ranks identically to
+        full_sort_predict (sigmoid is strictly monotone)."""
+        user_e, _, _ = self._user_item_embed(
+            params, state, batch[self.USER_ID], None, sst_list, False, None
+        )
+        return user_e, params["item_embedding"]
+
     def full_sort_predict(self, params, state, batch, sst_list=None):
         user_e, _, _ = self._user_item_embed(
             params, state, batch[self.USER_ID], None, sst_list, False, None

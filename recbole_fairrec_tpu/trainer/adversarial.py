@@ -132,6 +132,7 @@ class PFCNTrainer(Trainer):
     def _pick_eval_kind(self, eval_data):
         if isinstance(eval_data, FullSortEvalDataLoader):
             self._full_sort_pad = eval_data.step
+            self._stream_kprime = self._compute_stream_kprime(eval_data)
             if self.item_tensor is None:
                 self.item_tensor = eval_data.dataset.get_item_feature()
             kind = "full"

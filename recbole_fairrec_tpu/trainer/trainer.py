@@ -803,9 +803,119 @@ class Trainer(AbstractTrainer):
         row_idx = np.concatenate(second_parts)
         return merged_inter, row_idx, pos_u, pos_i
 
+    # ------------------------------------------------------- streaming eval
+
+    def _get_retrieval_fn(self, sst_list=None):
+        key = ("retrieval", sst_list, getattr(self.model, "train_stage", None))
+        if key not in self._eval_fn_cache:
+            model = self.model
+
+            def fn(params, model_state, batch):
+                return model.retrieval_embeddings(params, model_state, batch, sst_list=sst_list)
+
+            self._eval_fn_cache[key] = jax.jit(fn)
+        return self._eval_fn_cache[key]
+
+    @staticmethod
+    def _pair_membership(row_u, cand_i, key_u, key_i, n_items):
+        """bool [B, k']: is (row, candidate) in the (key_u, key_i) pair set."""
+        if len(key_u) == 0:
+            return np.zeros(cand_i.shape, dtype=bool)
+        keys = np.sort(key_u.astype(np.int64) * n_items + key_i.astype(np.int64))
+        cand_keys = row_u[:, None].astype(np.int64) * n_items + cand_i.astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, cand_keys), 0, len(keys) - 1)
+        return keys[pos] == cand_keys
+
+    def _collect_full_sort_streaming(self, batched_data, sst_list=None):
+        """Retrieval-form eval: never materializes [B, |I|]. Retrieves
+        k' = k + max_history + 1 candidates via the streaming/Pallas top-k,
+        then filters PAD + history and builds collector payloads on host.
+        Exact for models whose full-sort score is a strictly monotone
+        transform of the retrieval dot product."""
+        from ..ops.topk import streaming_topk_scores
+
+        interaction, history_index, positive_u, positive_i = batched_data
+        B = len(interaction)
+        pad_to = max(getattr(self, "_full_sort_pad", None) or B, _bucket(B, 512))
+        batch = self._to_batch(interaction, pad_to=pad_to)
+        user_repr, item_table = self._get_retrieval_fn(sst_list)(
+            self.params, self.model_state, batch
+        )
+
+        max_k = max(self.config["topk"])
+        k_prime = getattr(self, "_stream_kprime", None) or (max_k + 1)
+        use_pallas = (
+            self.config["use_pallas"] is not False and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            from ..ops.pallas.fused_topk import fused_topk_scores
+
+            _, cand_i = fused_topk_scores(
+                user_repr, item_table, k_prime, precision="highest"
+            )
+        else:
+            _, cand_i = streaming_topk_scores(user_repr, item_table, k_prime)
+        cand_i = np.asarray(cand_i)[:B]
+
+        # host-side PAD + history filtering, then truncate to k
+        forbidden = cand_i == 0
+        if history_index is not None:
+            hist_u, hist_i = history_index
+            row_u = np.arange(B)
+            forbidden |= self._pair_membership(
+                row_u, cand_i, np.asarray(hist_u), np.asarray(hist_i), self.tot_item_num
+            )
+        order = np.argsort(forbidden, axis=1, kind="stable")  # keep score order
+        topk_idx = np.take_along_axis(cand_i, order, axis=1)[:, :max_k]
+
+        r = self.eval_collector.register
+        payload = {}
+        if r.need("rec.items"):
+            payload["rec.items"] = topk_idx
+        if r.need("rec.topk"):
+            pos_hit = self._pair_membership(
+                np.arange(B), topk_idx, np.asarray(positive_u), np.asarray(positive_i),
+                self.tot_item_num,
+            ).astype(np.int64)
+            pos_len = np.bincount(np.asarray(positive_u), minlength=B).reshape(-1, 1)
+            payload["rec.topk"] = np.concatenate([pos_hit, pos_len], axis=1)
+        if r.need("rec.positive_score"):
+            users = np.asarray(interaction[self.config["USER_ID_FIELD"]])[
+                np.asarray(positive_u)
+            ]
+            pair_inter = Interaction(
+                {
+                    self.config["USER_ID_FIELD"]: users,
+                    self.config["ITEM_ID_FIELD"]: np.asarray(positive_i),
+                }
+            )
+            payload["rec.positive_score"] = self._predict_scores(pair_inter, sst_list)
+        self.eval_collector.eval_batch_collect_topk(
+            payload, interaction, positive_u, positive_i
+        )
+
+    def _compute_stream_kprime(self, eval_data):
+        """Static candidate count for streaming retrieval: k + the longest
+        history any user carries + 1 (PAD)."""
+        max_k = max(self.config["topk"])
+        max_hist = 0
+        for h in getattr(eval_data, "uid2history_item", []):
+            if h is not None and len(h) > max_hist:
+                max_hist = len(h)
+        return max_k + max_hist + 1
+
+    def _streaming_eval_ok(self):
+        return (
+            self.config["streaming_eval"]
+            and hasattr(self.model, "retrieval_embeddings")
+            and self._fused_eval_ok()
+        )
+
     def _collect_batch(self, kind, batched_data, sst_list=None):
         """Score one eval batch and feed the collector, fused when possible."""
         if kind == "full":
+            if self._streaming_eval_ok():
+                return self._collect_full_sort_streaming(batched_data, sst_list)
             if self._fused_eval_ok():
                 try:
                     return self._collect_full_sort_fused(batched_data, sst_list)
@@ -836,6 +946,7 @@ class Trainer(AbstractTrainer):
         if isinstance(eval_data, FullSortEvalDataLoader):
             kind = "full"
             self._full_sort_pad = eval_data.step
+            self._stream_kprime = self._compute_stream_kprime(eval_data)
             if self.item_tensor is None:
                 self.item_tensor = eval_data.dataset.get_item_feature()
         else:

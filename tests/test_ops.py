@@ -187,3 +187,27 @@ def test_device_popularity_sampler():
     neg = np.asarray(neg)
     freq1 = (neg == 1).mean()
     assert 0.35 <= freq1 <= 0.6  # ~70/150 of candidate mass
+
+
+def test_streaming_eval_matches_dense_path(tiny_data_path, tmp_path):
+    """Full-sort eval via streaming retrieval must reproduce the dense-path
+    metrics exactly (PFCN_PMF: sigmoid is strictly monotone)."""
+    from recbole_fairrec_tpu import run_recbole
+
+    cfg = {
+        "data_path": str(tiny_data_path),
+        "load_col": {"inter": ["user_id", "item_id", "rating"], "user": ["user_id", "gender"]},
+        "threshold": {"rating": 3.0},
+        "epochs": 2, "train_batch_size": 128, "eval_batch_size": 4096,
+        "show_progress": False, "state": "ERROR",
+        "filter_mode": "none", "save_sst_embed": False,
+        "eval_args": {"split": {"RS": [8, 1, 1]}, "order": "RO",
+                      "group_by": "user", "mode": "full"},
+        "metrics": ["NDCG", "Recall", "Hit", "MRR", "GiniIndex"],
+        "valid_metric": "NDCG@5", "topk": [5],
+    }
+    r_dense = run_recbole(model="PFCN_PMF", dataset="tiny", config_dict={
+        **cfg, "checkpoint_dir": str(tmp_path / "a"), "streaming_eval": False})
+    r_stream = run_recbole(model="PFCN_PMF", dataset="tiny", config_dict={
+        **cfg, "checkpoint_dir": str(tmp_path / "b"), "streaming_eval": True})
+    assert dict(r_dense["test_result"]["none"]) == dict(r_stream["test_result"]["none"])
