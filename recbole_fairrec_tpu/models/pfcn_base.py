@@ -198,7 +198,14 @@ class PFCNBase(FairRecommender):
             params, state, batch, user, pos_item, neg_item, sst_list, True, r1,
             sample_weight=w,
         )
-        loss = wmean(-jnp.log(1e-10 + jax.nn.sigmoid(pos_s - neg_s)), w)
+        elem = -jnp.log(1e-10 + jax.nn.sigmoid(pos_s - neg_s))
+        if elem.ndim == 2:
+            # [B,B] cross-pair scores (PFCN_BiasedMF broadcast quirk):
+            # weight each pair by w_i·w_j so padded rows/cols drop out
+            w2 = w[:, None] * w[None, :]
+            loss = jnp.sum(elem * w2) / jnp.maximum(jnp.sum(w2), 1.0)
+        else:
+            loss = wmean(elem, w)
         if self.filter_mode != "none":
             dis, state = self._dis_from_batch(params, state, batch, sst_list, True, r2, w)
             return loss - self.dis_weight * dis, state

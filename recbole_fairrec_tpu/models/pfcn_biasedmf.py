@@ -42,14 +42,23 @@ class PFCN_BiasedMF(PFCNBase):
 
     def _pairwise_scores(self, params, state, batch, user, pos_item, neg_item,
                          sst_list, train, rng, sample_weight=None):
+        """Reference quirk reproduced (pfcn_biasedmf.py:186-194): the [B] dot
+        scores are summed with the [B,1] user/item biases WITHOUT keepdim, so
+        the addition broadcasts into a [B,B] matrix — element (i,j) =
+        dot(j) + b_u(i) + b_item(i) — and BPR averages over all B² cross
+        pairs. PFCNBase.calculate_loss handles the 2-D shape with outer-
+        product padding weights, which reduces to the reference's plain mean
+        on unpadded batches."""
         user_e, pos_e, state = self._user_item_embed(
             params, state, user, pos_item, sst_list, train, rng, sample_weight
         )
         neg_e = params["item_embedding"][neg_item]
-        user_b = params["user_bias"][user][:, 0]
+        user_b = params["user_bias"][user]  # [B, 1]
         gb = params["global_bias"]
-        pos_s = jnp.sum(user_e * pos_e, axis=-1) + user_b + params["item_bias"][pos_item][:, 0] + gb
-        neg_s = jnp.sum(user_e * neg_e, axis=-1) + user_b + params["item_bias"][neg_item][:, 0] + gb
+        pos_dot = jnp.sum(user_e * pos_e, axis=-1)  # [B]
+        neg_dot = jnp.sum(user_e * neg_e, axis=-1)
+        pos_s = pos_dot[None, :] + user_b + params["item_bias"][pos_item] + gb
+        neg_s = neg_dot[None, :] + user_b + params["item_bias"][neg_item] + gb
         return pos_s, neg_s, state
 
     def predict(self, params, state, batch, sst_list=None):

@@ -1,0 +1,360 @@
+"""Golden training-parity runs vs the torch reference (VERDICT r1, item 1).
+
+Trains fair models on ml-100k-fair (bundled; ml-100k with float-coded gender,
+matching the reference's own ml-1M.user convention) under the reference
+model-yaml protocol — RS[8,1,1]/RO split, uni100 eval, NDCG@5 valid metric,
+12-metric suite, epochs 300 / early-stop 10 — in BOTH frameworks, and records
+best-valid + test metric dicts per (model, framework, seed).
+
+The per-run config is written to a YAML file and passed via config_file_list,
+exactly how the reference authors drive runs (reference test.yaml +
+run_recbole.py defaults): the reference's properties/dataset/sample.yaml
+clobbers model-yaml `threshold`/`load_col`, so a user config file is the only
+reliable channel (and the reference Config's eval-based coercion mangles
+strings like "value" when passed through config_dict, configurator.py:106-129).
+
+Usage:
+  python scripts/parity_runs.py --run FOCF --framework ref --seed 2020
+  python scripts/parity_runs.py --matrix            # everything, sequentially
+  python scripts/parity_runs.py --report            # PARITY_RUNS.md + BASELINE.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+RUNS_DIR = os.path.join(REPO, "runs", "parity")
+DATASET = "ml-100k-fair"
+
+# Headline metrics reported in PARITY_RUNS.md (full dicts are kept in JSON).
+HEADLINE = [
+    "ndcg@5", "recall@5", "hit@5", "mrr@5",
+    "Differential Fairness of sensitive attribute gender",
+    "Value Unfairness of sensitive attribute gender",
+    "Absolute Unfairness of sensitive attribute gender",
+    "Underestimation Unfairness of sensitive attribute gender",
+    "Overestimation Unfairness of sensitive attribute gender",
+    "NonParity Unfairness of sensitive attribute gender",
+]
+
+BASE_CFG = """\
+data_path: {data_path}
+checkpoint_dir: {ckpt_dir}
+seed: {seed}
+use_gpu: {use_gpu}
+show_progress: False
+sst_attr_list: ['gender']
+"""
+
+# Per-model run configs mirror the reference model yamls + its test.yaml
+# conventions (threshold/load_col restated because sample.yaml clobbers them).
+MODEL_CFG = {
+    "FOCF": """\
+LABEL_FIELD: label
+threshold: {'rating': 3.0}
+load_col:
+  inter: [user_id,item_id,rating]
+  user: [user_id,gender]
+fair_objective: value
+""",
+    "PFCN_PMF_cm": """\
+model: PFCN_PMF
+LABEL_FIELD: label
+threshold: {'rating': 3.0}
+load_col:
+  inter: [user_id,item_id,rating]
+  user: [user_id,gender]
+filter_mode: cm
+save_sst_embed: False
+""",
+    "PFCN_PMF_sm": """\
+model: PFCN_PMF
+LABEL_FIELD: label
+threshold: {'rating': 3.0}
+load_col:
+  inter: [user_id,item_id,rating]
+  user: [user_id,gender]
+filter_mode: sm
+save_sst_embed: False
+""",
+    "FairGo_PMF": """\
+LABEL_FIELD: label
+threshold: {'rating': 3.0}
+load_col:
+  inter: [user_id,item_id,rating]
+  user: [user_id,gender]
+n_layers: 2
+save_sst_embed: False
+# reference default is 600; capped identically in both frameworks for
+# tractable CPU wall-clock (documented in PARITY_RUNS.md)
+pretrain_epochs: 60
+epochs: 100
+""",
+    # NFCF phase A: plain NCF pretrain (implicit feedback, sampled negatives —
+    # the reference's NFCF_ml-1M.inter has no rating column)
+    "NFCF_pre": """\
+model: NFCF
+load_col:
+  inter: [user_id,item_id]
+  user: [user_id,gender]
+load_pretrain_path: ~
+""",
+    # phase B: debiased finetune; {pretrain_path} substituted at run time
+    "NFCF": """\
+load_col:
+  inter: [user_id,item_id]
+  user: [user_id,gender]
+load_pretrain_path: '{pretrain_path}'
+""",
+}
+
+MATRIX_MODELS = ["FOCF", "PFCN_PMF_cm", "PFCN_PMF_sm", "NFCF", "FairGo_PMF"]
+# Early stopping makes final metrics bimodal (runs that escape the early
+# valid-score dip reach ~1.5× the NDCG of runs that stop in it), so parity
+# needs enough seeds for the spread to capture that variance.
+SEEDS = [2020, 2021, 2022, 2023, 2024]
+
+
+def _model_name(run_key):
+    return {"PFCN_PMF_cm": "PFCN_PMF", "PFCN_PMF_sm": "PFCN_PMF",
+            "NFCF_pre": "NFCF"}.get(run_key, run_key)
+
+
+def _write_cfg(run_key, framework, seed, ckpt_dir, extra_subst=None, device="cpu"):
+    os.makedirs(ckpt_dir, exist_ok=True)
+    body = MODEL_CFG[run_key]
+    if extra_subst:
+        body = body.format(**extra_subst)
+    cfg = BASE_CFG.format(
+        data_path=os.path.join(REPO, "dataset"),
+        ckpt_dir=ckpt_dir,
+        seed=seed,
+        use_gpu="False" if device == "cpu" else "True",
+    ) + body
+    path = os.path.join(ckpt_dir, f"{run_key}_{framework}_{seed}.yaml")
+    with open(path, "w") as f:
+        f.write(cfg)
+    return path
+
+
+def _setup_reference():
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import ref_compat
+
+    ref_compat.setup_reference()
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {str(k): _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if hasattr(obj, "item"):
+        return obj.item()
+    return obj
+
+
+def run_one(run_key, framework, seed, device="cpu"):
+    """Execute one training run in-process and dump its result JSON."""
+    model = _model_name(run_key)
+    tag = f"{run_key}_{framework}_{seed}" + ("" if device == "cpu" else f"_{device}")
+    ckpt_dir = os.path.join(RUNS_DIR, "ckpt", tag)
+    out_path = os.path.join(RUNS_DIR, f"{tag}.json")
+
+    extra = None
+    if run_key == "NFCF":
+        # phase A first (same framework+seed), reuse if already done
+        pre_tag = f"NFCF_pre_{framework}_{seed}" + ("" if device == "cpu" else f"_{device}")
+        pre_ckpt_dir = os.path.join(RUNS_DIR, "ckpt", pre_tag)
+        suffix = "*.pth" if framework == "ref" else "*.pkl"
+        existing = sorted(glob.glob(os.path.join(pre_ckpt_dir, "NFCF-*" + suffix[1:])))
+        if not existing:
+            run_one("NFCF_pre", framework, seed, device)
+            existing = sorted(glob.glob(os.path.join(pre_ckpt_dir, "NFCF-*" + suffix[1:])))
+        assert existing, f"no pretrain checkpoint found in {pre_ckpt_dir}"
+        extra = {"pretrain_path": existing[-1]}
+
+    cfg_path = _write_cfg(run_key, framework, seed, ckpt_dir, extra, device)
+    t0 = time.time()
+    if framework == "ref":
+        _setup_reference()
+        from recbole.quick_start import run_recbole
+    else:
+        if device == "cpu":
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        from recbole_fairrec_tpu.quick_start import run_recbole
+
+    result = run_recbole(model=model, dataset=DATASET, config_file_list=[cfg_path])
+    payload = {
+        "run": run_key, "framework": framework, "seed": seed, "device": device,
+        "wall_s": round(time.time() - t0, 1),
+        "best_valid_score": _jsonable(result.get("best_valid_score")),
+        "best_valid_result": _jsonable(result.get("best_valid_result")),
+        "test_result": _jsonable(result.get("test_result")),
+    }
+    os.makedirs(RUNS_DIR, exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"[parity] wrote {out_path} ({payload['wall_s']}s)")
+    return payload
+
+
+def run_matrix(models=None, seeds=None, frameworks=("ref", "ours"), device="cpu"):
+    """Sequential subprocess per run (framework imports must not mix)."""
+    for model in models or MATRIX_MODELS:
+        for seed in seeds or SEEDS:
+            for fw in frameworks:
+                tag = f"{model}_{fw}_{seed}" + ("" if device == "cpu" else f"_{device}")
+                out_path = os.path.join(RUNS_DIR, f"{tag}.json")
+                if os.path.exists(out_path):
+                    print(f"[parity] skip {tag} (exists)")
+                    continue
+                cmd = [sys.executable, os.path.abspath(__file__), "--run", model,
+                       "--framework", fw, "--seed", str(seed), "--device", device]
+                print("[parity] running:", " ".join(cmd), flush=True)
+                rc = subprocess.call(cmd, cwd=REPO)
+                if rc != 0:
+                    print(f"[parity] FAILED rc={rc}: {tag}", flush=True)
+
+
+# ------------------------------------------------------------------ report
+
+def _flat_test_result(payload):
+    """Reduce nested adversarial result dicts to one flat metrics dict.
+
+    PFCN test results are keyed '{mode}-{sst_list}' (single entry for one
+    attribute); FairGo results carry 'pretrain-'/'finetune-' prefixed keys —
+    the finetune set is the headline (reference trainer.py:738-772).
+    """
+    tr = payload["test_result"]
+    if not isinstance(tr, dict):
+        return {}
+    if any(isinstance(v, dict) for v in tr.values()):  # PFCN per-subset
+        key = sorted(tr.keys())[0]
+        return tr[key]
+    if any(k.startswith("finetune-") for k in tr):  # FairGo dual eval
+        return {k[len("finetune-"):]: v for k, v in tr.items()
+                if k.startswith("finetune-")}
+    return tr
+
+
+def report():
+    rows = {}
+    for path in sorted(glob.glob(os.path.join(RUNS_DIR, "*.json"))):
+        with open(path) as f:
+            p = json.load(f)
+        if p["device"] != "cpu":
+            continue
+        rows.setdefault((p["run"], p["framework"]), []).append(p)
+
+    lines = [
+        "# PARITY_RUNS — golden training-parity numbers",
+        "",
+        "Trained-model comparison vs the torch reference on **ml-100k-fair**",
+        "(bundled ml-100k with float-coded gender, the reference's ml-1M.user",
+        "convention), using the reference model-yaml protocol: RS[8,1,1]/RO,",
+        "uni100, NDCG@5 valid metric, epochs 300 / early-stop 10, batch 2048,",
+        "adam 1e-3, seeds 2020/2021/2022. Both frameworks consume the SAME",
+        "generated config file (see scripts/parity_runs.py). Reference runs on",
+        "torch CPU; ours on the JAX CPU backend (device-independent math;",
+        "TPU runs of ours agree with CPU, see BENCH artifacts).",
+        "",
+        "FairGo_PMF: pretrain_epochs capped 600→60 and epochs 300→100 in BOTH",
+        "frameworks for CPU tractability.",
+        "",
+        "`Δ` = |mean(ours) − mean(ref)|; PASS if Δ ≤ max(spread_ref,",
+        "spread_ours, 0.01) where spread = max−min over seeds (run variance).",
+        "",
+    ]
+    summary_pass = True
+    models = sorted({k[0] for k in rows})
+    for model in models:
+        ref_runs = rows.get((model, "ref"), [])
+        our_runs = rows.get((model, "ours"), [])
+        if not ref_runs or not our_runs:
+            lines.append(f"## {model}: INCOMPLETE (ref={len(ref_runs)} ours={len(our_runs)})")
+            summary_pass = False
+            continue
+        lines.append(f"## {model}  (seeds: ref={len(ref_runs)}, ours={len(our_runs)})")
+        lines.append("")
+        lines.append("| metric | ref mean | ref spread | ours mean | ours spread | Δ | verdict |")
+        lines.append("|---|---|---|---|---|---|---|")
+        for metric in HEADLINE:
+            rv = [_flat_test_result(p).get(metric) for p in ref_runs]
+            ov = [_flat_test_result(p).get(metric) for p in our_runs]
+            rv = [v for v in rv if v is not None]
+            ov = [v for v in ov if v is not None]
+            if not rv or not ov:
+                continue
+            rm, om = sum(rv) / len(rv), sum(ov) / len(ov)
+            rs, osp = max(rv) - min(rv), max(ov) - min(ov)
+            delta = abs(rm - om)
+            ok = delta <= max(rs, osp, 0.01)
+            summary_pass &= ok
+            lines.append(
+                f"| {metric} | {rm:.4f} | {rs:.4f} | {om:.4f} | {osp:.4f} "
+                f"| {delta:.4f} | {'PASS' if ok else 'DIVERGENT'} |"
+            )
+        ref_t = sum(p["wall_s"] for p in ref_runs) / len(ref_runs)
+        our_t = sum(p["wall_s"] for p in our_runs) / len(our_runs)
+        lines.append("")
+        lines.append(f"mean wall-clock/run (CPU): ref {ref_t:.0f}s, ours {our_t:.0f}s")
+        lines.append("")
+    lines.append(f"**Overall: {'PASS' if summary_pass else 'SEE DIVERGENT ROWS'}**")
+    lines.append("")
+    with open(os.path.join(REPO, "PARITY_RUNS.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote PARITY_RUNS.md; overall", "PASS" if summary_pass else "DIVERGENT")
+
+    # publish reference means into BASELINE.json
+    baseline_path = os.path.join(REPO, "BASELINE.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        published = {}
+        for model in models:
+            ref_runs = rows.get((model, "ref"), [])
+            if not ref_runs:
+                continue
+            agg = {}
+            for metric in HEADLINE:
+                vals = [_flat_test_result(p).get(metric) for p in ref_runs]
+                vals = [v for v in vals if v is not None]
+                if vals:
+                    agg[metric] = round(sum(vals) / len(vals), 4)
+            published[f"{model}@{DATASET}"] = agg
+        baseline["published"] = published
+        with open(baseline_path, "w") as f:
+            json.dump(baseline, f, indent=1)
+        print("updated BASELINE.json published")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", help="run key (model or model_variant)")
+    ap.add_argument("--framework", choices=["ref", "ours"])
+    ap.add_argument("--seed", type=int, default=2020)
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--matrix", action="store_true")
+    ap.add_argument("--models", nargs="*")
+    ap.add_argument("--seeds", nargs="*", type=int)
+    ap.add_argument("--report", action="store_true")
+    args = ap.parse_args()
+    if args.report:
+        report()
+    elif args.matrix:
+        run_matrix(args.models, args.seeds, device=args.device)
+    else:
+        assert args.run and args.framework
+        run_one(args.run, args.framework, args.seed, args.device)

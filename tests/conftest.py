@@ -31,6 +31,22 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="session")
+def ref_recbole(request):
+    """The torch reference imported for differential tests, with global-state
+    cleanup at session end (ADVICE.md round 1)."""
+    import ref_compat
+
+    ref_compat.setup_reference()
+    request.addfinalizer(ref_compat.teardown_reference)
+    try:
+        import recbole.quick_start  # noqa: F401
+        import recbole
+    except Exception as e:  # pragma: no cover - environment-specific
+        pytest.skip(f"reference unavailable: {e}")
+    return recbole
+
+
+@pytest.fixture(scope="session")
 def ml100k_path():
     path = os.path.join(REPO_ROOT, "dataset")
     assert os.path.isdir(os.path.join(path, "ml-100k"))

@@ -16,13 +16,9 @@ Collector fairness payloads (collector.py:131-205), the 12-metric FOCF suite
 """
 
 import os
-import sys
-import types
 
 import numpy as np
 import pytest
-
-REFERENCE = "/root/reference"
 
 METRICS = [
     "NDCG", "Recall", "Hit", "MRR", "DifferentialFairness", "GiniIndex",
@@ -106,23 +102,8 @@ def _weights(n_users, n_items):
 
 
 @pytest.fixture(scope="module")
-def ref_modules():
-    for mod in ("colorlog", "colorama", "wandb", "hyperopt"):
-        try:
-            __import__(mod)
-        except ImportError:
-            sys.modules[mod] = types.ModuleType(mod)
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
-    if not hasattr(np, "float"):
-        np.float = float
-    try:
-        import recbole.quick_start  # noqa: F401
-    except Exception as e:  # pragma: no cover - environment-specific
-        pytest.skip(f"reference unavailable: {e}")
-    import recbole
-
-    return recbole
+def ref_modules(ref_recbole):
+    return ref_recbole
 
 
 def _run_reference(bmk_path, tmp_path, mode, ref_modules):

@@ -7,34 +7,14 @@ metric layer is where the reference's numbers are produced, so agreement here
 pins NDCG/Recall/... and all six fairness metrics to the reference bit-wise
 (up to the documented float64 rounding)."""
 
-import sys
-import types
-
 import numpy as np
 import pytest
 
-REFERENCE = "/root/reference"
-
 
 @pytest.fixture(scope="module")
-def ref_metrics():
-    # stub optional deps the reference imports at package load
-    for mod in ("colorlog", "colorama", "wandb", "hyperopt"):
-        try:
-            __import__(mod)
-        except ImportError:
-            sys.modules[mod] = types.ModuleType(mod)
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
-    # the reference predates numpy 2.0; np.float is gone but np.bool exists
-    # again in numpy 2 and must NOT be overwritten
-    if not hasattr(np, "float"):
-        np.float = float
-    try:
-        import torch  # noqa: F401
-        from recbole.evaluator import metrics as ref_m
-    except Exception as e:  # pragma: no cover - environment-specific
-        pytest.skip(f"reference metrics unavailable: {e}")
+def ref_metrics(ref_recbole):
+    from recbole.evaluator import metrics as ref_m
+
     return ref_m
 
 
