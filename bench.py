@@ -1,118 +1,252 @@
-"""Benchmark: framework BPR-MF train-step throughput (examples/s/chip), ml-1M scale.
+"""Framework-level TPU benchmarks at ml-1M scale — one JSON line.
 
-Drives the REAL framework path — PFCN_PMF with filter_mode='none' is exactly
-a BPR-MF (pairwise BPR over dot-product MF scores), trained through the
-Trainer's jitted update function — on synthetic data at ml-1M scale:
-6,040 users / 3,629 items / 836,478 interactions
+Everything is measured through the REAL framework paths (VERDICT r1 items
+2/3/8): Config → Dataset ETL (cached) → dataloaders + host negative sampling
+→ the Trainer's jitted update / evaluate — no staged device batches.
+
+Reported fields (primary metric first; extras ride in the same JSON object):
+- e2e train epoch examples/s — full `Trainer._train_epoch` incl. dataloader,
+  sampler, padding. Baseline: upstream RecBole BPRMF 0.89 s/epoch for
+  836,478 interactions on a TITAN V (General_recommendation.md:30) →
+  939,863 examples/s. The model is PFCN_PMF filter_mode='none', which IS
+  BPR-MF (pairwise BPR over dot-product MF).
+- full-sort eval items/s — `Trainer.evaluate` over the valid split, full
+  catalog, for the dense-fused and streaming(+Pallas) variants; both must
+  produce identical metric dicts. Baseline: 0.71 s/epoch eval →
+  6040·3629/0.71 ≈ 30.9 M items/s.
+- raw jitted train-step examples/s (the round-1 kernel-level number).
+- Pallas fused top-k exactness + latency vs dense lax.top_k at
+  B=1024 × I=65536 (regresses commit f7a8a0a's claim every round).
+
+Scale: 6,040 users / 3,629 items / 836,478 interactions
 (reference asset/time_test_result/General_recommendation.md:7).
-
-Baseline: upstream RecBole BPRMF at 0.89 s/epoch on a TITAN V
-(General_recommendation.md:30) → 836,478 / 0.89 ≈ 939,863 examples/s.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-
+REPO = os.path.dirname(os.path.abspath(__file__))
 N_USERS, N_ITEMS, N_INTER = 6040, 3629, 836478
-BATCH = 2048
 EMB = 64
-REFERENCE_EXAMPLES_PER_S = 836478 / 0.89
+TRAIN_BASELINE_EX_S = 836478 / 0.89
+EVAL_BASELINE_ITEMS_S = 6040 * 3629 / 0.71
+DATA_DIR = os.path.join(REPO, "runs", "bench_data")
+DS = "ml1m-bench"
 
 
-class _Cfg(dict):
-    def __getitem__(self, k):
-        return self.get(k)
-
-
-class _Feat(dict):
-    @property
-    def columns(self):
-        return list(self.keys())
-
-
-def _make_model():
-    from recbole_fairrec_tpu.models.pfcn_pmf import PFCN_PMF
-
+def _ensure_dataset():
+    """Synthesize a deterministic ml-1M-scale atomic-file dataset once."""
+    ddir = os.path.join(DATA_DIR, DS)
+    marker = os.path.join(ddir, ".complete")
+    if os.path.exists(marker):
+        return DATA_DIR
+    os.makedirs(ddir, exist_ok=True)
     rng = np.random.RandomState(2020)
+    # unique user-item pairs; oversample + dedup, trim to N_INTER
+    need = N_INTER
+    keys = np.unique(rng.randint(0, N_USERS * N_ITEMS, int(need * 1.35)))
+    rng.shuffle(keys)
+    assert len(keys) >= need, len(keys)
+    keys = keys[:need]
+    u = keys // N_ITEMS + 1
+    i = keys % N_ITEMS + 1
+    r = rng.randint(1, 6, need)
+    import pandas as pd
 
-    class _DS:
-        user_num, item_num = N_USERS, N_ITEMS
+    df = pd.DataFrame({"user_id:token": u, "item_id:token": i, "rating:float": r})
+    df.to_csv(os.path.join(ddir, f"{DS}.inter"), sep="\t", index=False)
+    users = np.arange(1, N_USERS + 1)
+    pd.DataFrame(
+        {"user_id:token": users, "gender:float": users % 2}
+    ).to_csv(os.path.join(ddir, f"{DS}.user"), sep="\t", index=False)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return DATA_DIR
 
-        def num(self, field):
-            return {"user_id": N_USERS, "item_id": N_ITEMS}[field]
 
-        def get_user_feature(self):
-            return _Feat(
-                user_id=np.arange(N_USERS),
-                gender=np.concatenate([[0], rng.randint(1, 3, N_USERS - 1)]),
-            )
+def _build():
+    from recbole_fairrec_tpu.config import Config
+    from recbole_fairrec_tpu.data import create_dataset, data_preparation
+    from recbole_fairrec_tpu.trainer import Trainer
+    from recbole_fairrec_tpu.utils import get_model, init_seed
 
-    config = _Cfg(
-        USER_ID_FIELD="user_id", ITEM_ID_FIELD="item_id", NEG_PREFIX="neg_",
-        sst_attr_list=["gender"], embedding_size=EMB, filter_mode="none",
-        activation="leakyrelu",
+    config = Config(
+        model="PFCN_PMF",
+        dataset=DS,
+        config_dict={
+            "data_path": _ensure_dataset(),
+            "load_col": {"inter": ["user_id", "item_id", "rating"],
+                         "user": ["user_id", "gender"]},
+            "filter_mode": "none",  # == BPR-MF
+            "embedding_size": EMB,
+            "train_batch_size": 2048,
+            "neg_sampling": {"uniform": 1},
+            "metrics": ["NDCG", "Recall", "Hit", "MRR"],
+            "topk": [10],
+            "valid_metric": "NDCG@10",
+            "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "RO",
+                          "group_by": "user", "mode": "full"},
+            "show_progress": False,
+            "save_dataset": True,
+            "save_dataloaders": True,
+            "checkpoint_dir": os.path.join(DATA_DIR, "saved"),
+        },
     )
-    return PFCN_PMF(config, _DS())
+    init_seed(config["seed"], config["reproducibility"])
+    dataset = create_dataset(config)
+    train_data, valid_data, test_data = data_preparation(config, dataset)
+    model = get_model(config["model"])(config, train_data.dataset)
+    # base Trainer, not PFCNTrainer: with filter_mode='none' the model IS
+    # BPR-MF and has no adversarial param groups / per-subset eval wrapping
+    trainer = Trainer(config, model)
+    return config, trainer, train_data, valid_data
+
+
+def bench_train_epoch(trainer, train_data, epochs=2):
+    n_examples = len(train_data.dataset.inter_feat)
+    trainer._train_epoch(train_data, 0)  # warmup: compile + cache shapes
+    t0 = time.perf_counter()
+    for e in range(epochs):
+        trainer._train_epoch(train_data, e + 1)
+    dt = (time.perf_counter() - t0) / epochs
+    return n_examples / dt, dt
+
+
+def bench_eval(trainer, valid_data):
+    """(items/s dense-fused, items/s streaming, dicts-agree) via the real
+    Trainer.evaluate — macro-batching, collector, and host metrics included."""
+    n_users = valid_data.pr_end
+    items_total = n_users * valid_data.dataset.item_num
+
+    def timed():
+        trainer.evaluate(valid_data, load_best_model=False)  # compile warmup
+        t0 = time.perf_counter()
+        result = trainer.evaluate(valid_data, load_best_model=False)
+        return dict(result), time.perf_counter() - t0
+
+    trainer.config["streaming_eval"] = False
+    dense_result, dense_dt = timed()
+    trainer.config["streaming_eval"] = True
+    stream_result, stream_dt = timed()
+    trainer.config["streaming_eval"] = False
+    # The streaming/retrieval path ranks raw dot products; the dense path
+    # ranks the model's f32 head scores (sigmoid), whose saturation creates
+    # exact ties that lax.top_k breaks by index. The top-k SET is identical
+    # (set-level metrics must match bitwise); rank-discounted metrics may
+    # reorder within those ties, so they get a small tolerance.
+    agree = set(dense_result) == set(stream_result) and all(
+        dense_result[k] == stream_result[k]
+        if k.startswith(("recall", "hit"))
+        else abs(dense_result[k] - stream_result[k]) < 2e-3
+        for k in dense_result
+    )
+    return items_total / dense_dt, items_total / stream_dt, agree, dense_dt, stream_dt
+
+
+def bench_train_step(trainer, train_data):
+    """Raw jitted update throughput: resident batches, no host pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    batch_size = 2048
+    rng = np.random.RandomState(0)
+    batches = [
+        {
+            "user_id": jnp.asarray(rng.randint(1, N_USERS, batch_size)),
+            "item_id": jnp.asarray(rng.randint(1, N_ITEMS, batch_size)),
+            "neg_item_id": jnp.asarray(rng.randint(1, N_ITEMS, batch_size)),
+            "rating": jnp.asarray(rng.randint(1, 6, batch_size).astype(np.float32)),
+        }
+        for _ in range(64)
+    ]
+    update = trainer._get_update_fn("calculate_loss", None, "main")
+    params, state, opt = trainer.params, trainer.model_state, trainer.opt_state
+    key = jax.random.PRNGKey(0)
+    loss, params, state, opt = update(params, state, opt, key, batches[0])
+    loss.block_until_ready()
+    n_steps = N_INTER // batch_size
+    t0 = time.perf_counter()
+    for s in range(n_steps):
+        loss, params, state, opt = update(params, state, opt, key, batches[s % 64])
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    # restore trainer state (update donates params/opt buffers)
+    trainer.params, trainer.model_state, trainer.opt_state = params, state, opt
+    return n_steps * batch_size / dt
+
+
+def bench_pallas_topk():
+    """Fused Pallas top-k vs dense matmul+lax.top_k: exactness + latency."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return None, None, None
+    from recbole_fairrec_tpu.ops.pallas.fused_topk import fused_topk_scores
+
+    B, I, k = 1024, 65536, 10
+    ku, ki = jax.random.split(jax.random.PRNGKey(7))
+    user = jax.random.normal(ku, (B, EMB), jnp.float32)
+    items = jax.random.normal(ki, (I, EMB), jnp.float32)
+
+    @jax.jit
+    def dense(u, t):
+        # same contract as the kernel: PAD column masked, exact-f32 matmul
+        s = jnp.dot(u, t.T, preferred_element_type=jnp.float32,
+                    precision="highest")
+        s = s.at[:, 0].set(-jnp.inf)
+        return jax.lax.top_k(s, k)
+
+    fused = jax.jit(lambda u, t: fused_topk_scores(u, t, k, precision="highest"))
+    ds, di = dense(user, items)
+    fs, fi = fused(user, items)
+    jax.block_until_ready((ds, di, fs, fi))
+    exact = bool(jnp.all(di == fi)) and bool(jnp.allclose(ds, fs, atol=1e-5))
+
+    def timeit(fn, n=20):
+        fn(user, items)[0].block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(user, items)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    return exact, timeit(fused), timeit(dense)
 
 
 def main():
     import jax
-    import jax.numpy as jnp
-    import optax
 
-    model = _make_model()
-    params, state = model.init_params(jax.random.PRNGKey(2020))
-    tx = optax.chain(optax.scale_by_adam(eps=1e-8), optax.scale(-1e-3))
-    opt_state = tx.init(params)
+    backend = jax.default_backend()
+    config, trainer, train_data, valid_data = _build()
 
-    @jax.jit
-    def update(params, opt_state, rng, batch):
-        def loss_fn(p):
-            loss, _ = model.calculate_loss(p, {}, batch, rng=rng, sst_list=None)
-            return loss
+    step_ex_s = bench_train_step(trainer, train_data)
+    epoch_ex_s, epoch_s = bench_train_epoch(trainer, train_data)
+    eval_dense, eval_stream, agree, dense_dt, stream_dt = bench_eval(trainer, valid_data)
+    pallas_exact, pallas_ms, dense_ms = bench_pallas_topk()
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return loss, optax.apply_updates(params, updates), opt_state
-
-    rng = np.random.RandomState(2020)
-    n_steps = N_INTER // BATCH  # one epoch
-    n_resident = min(n_steps, 64)
-    batches = [
-        {
-            "user_id": jnp.asarray(rng.randint(1, N_USERS, BATCH)),
-            "item_id": jnp.asarray(rng.randint(1, N_ITEMS, BATCH)),
-            "neg_item_id": jnp.asarray(rng.randint(1, N_ITEMS, BATCH)),
-        }
-        for _ in range(n_resident)
-    ]
-    key = jax.random.PRNGKey(0)
-
-    loss, params, opt_state = update(params, opt_state, key, batches[0])
-    loss.block_until_ready()
-
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        loss, params, opt_state = update(params, opt_state, key, batches[i % n_resident])
-    loss.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    examples_per_s = n_steps * BATCH / dt
-    print(
-        json.dumps(
-            {
-                "metric": "bpr_mf_train_examples_per_s_per_chip",
-                "value": round(examples_per_s, 1),
-                "unit": "examples/s/chip",
-                "vs_baseline": round(examples_per_s / REFERENCE_EXAMPLES_PER_S, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "e2e_train_epoch_examples_per_s_per_chip",
+        "value": round(epoch_ex_s, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(epoch_ex_s / TRAIN_BASELINE_EX_S, 3),
+        "backend": backend,
+        "train_epoch_s": round(epoch_s, 3),
+        "train_step_examples_per_s": round(step_ex_s, 1),
+        "fullsort_eval_items_per_s": round(eval_dense, 1),
+        "fullsort_eval_items_per_s_vs_baseline": round(eval_dense / EVAL_BASELINE_ITEMS_S, 3),
+        "fullsort_eval_s": round(dense_dt, 3),
+        "fullsort_eval_items_per_s_streaming": round(eval_stream, 1),
+        "fullsort_eval_s_streaming": round(stream_dt, 3),
+        "eval_variants_agree": agree,
+        "pallas_topk_exact": pallas_exact,
+        "pallas_topk_ms": None if pallas_ms is None else round(pallas_ms, 3),
+        "dense_topk_ms": None if dense_ms is None else round(dense_ms, 3),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -61,18 +61,23 @@ class DataStruct:
 
 def _average_rank(scores):
     """Row-wise tie-averaged descending ranks, 1-based (reference :97-129;
-    scipy rankdata semantics). Rows must already be descending-sorted."""
+    scipy rankdata semantics). Rows must already be descending-sorted.
+
+    Fully vectorized: per row, each tie group [s, e) gets rank (s+1+e)/2.
+    Group starts propagate rightward via a running max over column indices;
+    group ends come from the same trick on the reversed rows.
+    """
     length, width = scores.shape
-    out = np.empty((length, width), dtype=np.float64)
-    for r in range(length):
-        row = scores[r]
-        # row is descending-sorted; group equal values
-        obs = np.r_[True, row[1:] != row[:-1]]
-        starts = np.where(obs)[0]
-        ends = np.r_[starts[1:], width]
-        for s, e in zip(starts, ends):
-            out[r, s:e] = 0.5 * (s + 1 + e)
-    return out
+    cols = np.broadcast_to(np.arange(width), (length, width))
+    is_start = np.ones((length, width), dtype=bool)
+    is_start[:, 1:] = scores[:, 1:] != scores[:, :-1]
+    # start index of each element's tie group: running max of start positions
+    start = np.maximum.accumulate(np.where(is_start, cols, 0), axis=1)
+    # end (exclusive): first start position to the right, found on the
+    # reversed array with a running minimum
+    nxt = np.where(is_start, cols, width)[:, ::-1]
+    end = np.minimum.accumulate(np.r_["1", np.full((length, 1), width), nxt][:, :-1], axis=1)[:, ::-1]
+    return 0.5 * (start + 1 + end)
 
 
 class Collector:

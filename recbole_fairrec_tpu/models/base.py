@@ -122,6 +122,30 @@ class FairRecommender(AbstractRecommender):
         """Discriminator objective for adversarial models."""
         raise NotImplementedError
 
+    def lookup(self, table, ids):
+        """Embedding-table row lookup.
+
+        Default: plain indexing — under a mesh the table carries a
+        row-sharded NamedSharding and XLA inserts the gather collectives
+        (parallel/embedding.py:sharded_gather). With
+        config['embedding_exchange'] == 'allgather' and a model axis present,
+        the explicit pull-style shard_map exchange is used instead
+        (bucket_allgather_lookup): ids ride the ICI, partial lookups psum.
+        The trainer sets ``runtime_mesh`` when mesh_shape is configured.
+        """
+        mesh = getattr(self, "runtime_mesh", None)
+        if (
+            mesh is not None
+            and self.config["embedding_exchange"] == "allgather"
+            and mesh.shape.get("model", 1) > 1
+            and table.ndim == 2
+            and table.shape[0] % mesh.shape["model"] == 0
+        ):
+            from ..parallel.embedding import bucket_allgather_lookup
+
+            return bucket_allgather_lookup(mesh, table, ids)
+        return table[ids]
+
     def get_sst_embed(self, params, state, user_data, sst_list=None):
         """Export filtered user embeddings + attributes for offline attacker
         evaluation (reference pfcn_mlp.py:224-232)."""

@@ -55,8 +55,8 @@ class FOCF(FairRecommender):
     # --------------------------------------------------------------- forward
 
     def forward(self, params, user, item):
-        user_e = params["user_embedding"][user]
-        item_e = params["item_embedding"][item]
+        user_e = self.lookup(params["user_embedding"], user)
+        item_e = self.lookup(params["item_embedding"], item)
         pred = jnp.sum(user_e * item_e, axis=-1)
         return pred, user_e, item_e
 

@@ -94,8 +94,8 @@ class NFCF(FairRecommender):
     # --------------------------------------------------------------- forward
 
     def forward(self, params, user, item, train=False, rng=None):
-        u = params["user_embedding"][user]
-        i = params["item_embedding"][item]
+        u = self.lookup(params["user_embedding"], user)
+        i = self.lookup(params["item_embedding"], item)
         out, _ = apply_mlp(
             params["mlp"], jnp.concatenate([u, i], axis=-1),
             activation="relu", dropout=self.dropout, train=train, rng=rng,

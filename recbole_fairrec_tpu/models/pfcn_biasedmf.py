@@ -33,8 +33,8 @@ class PFCN_BiasedMF(PFCNBase):
 
     def _user_item_embed(self, params, state, user, item, sst_list, train, rng,
                          sample_weight=None):
-        user_e = params["user_embedding"][user]
-        item_e = params["item_embedding"][item] if item is not None else None
+        user_e = self.lookup(params["user_embedding"], user)
+        item_e = self.lookup(params["item_embedding"], item) if item is not None else None
         user_e, state = self._apply_filters(
             params, state, user_e, sst_list, train, rng, sample_weight
         )
@@ -52,7 +52,7 @@ class PFCN_BiasedMF(PFCNBase):
         user_e, pos_e, state = self._user_item_embed(
             params, state, user, pos_item, sst_list, train, rng, sample_weight
         )
-        neg_e = params["item_embedding"][neg_item]
+        neg_e = self.lookup(params["item_embedding"], neg_item)
         user_b = params["user_bias"][user]  # [B, 1]
         gb = params["global_bias"]
         pos_dot = jnp.sum(user_e * pos_e, axis=-1)  # [B]

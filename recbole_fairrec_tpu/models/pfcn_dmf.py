@@ -64,10 +64,10 @@ class PFCN_DMF(PFCNBase):
     def _user_item_embed(self, params, state, user, item, sst_list, train, rng,
                          sample_weight=None):
         r1, r2, r3 = jax.random.split(rng, 3) if rng is not None else (None, None, None)
-        user_e = self._tower(params, "user_mlp", params["user_embedding"][user], train, r1)
+        user_e = self._tower(params, "user_mlp", self.lookup(params["user_embedding"], user), train, r1)
         item_e = None
         if item is not None:
-            item_e = self._tower(params, "item_mlp", params["item_embedding"][item], train, r2)
+            item_e = self._tower(params, "item_mlp", self.lookup(params["item_embedding"], item), train, r2)
         user_e, state = self._apply_filters(
             params, state, user_e, sst_list, train, r3, sample_weight
         )
@@ -79,7 +79,7 @@ class PFCN_DMF(PFCNBase):
         user_e, pos_e, state = self._user_item_embed(
             params, state, user, pos_item, sst_list, train, r1, sample_weight
         )
-        neg_e = self._tower(params, "item_mlp", params["item_embedding"][neg_item], train, r2)
+        neg_e = self._tower(params, "item_mlp", self.lookup(params["item_embedding"], neg_item), train, r2)
         pos_s = _cosine(user_e, pos_e) * 10
         neg_s = _cosine(user_e, neg_e) * 10
         return pos_s, neg_s, state

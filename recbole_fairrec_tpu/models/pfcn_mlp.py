@@ -40,8 +40,8 @@ class PFCN_MLP(PFCNBase):
 
     def _user_item_embed(self, params, state, user, item, sst_list, train, rng,
                          sample_weight=None):
-        user_e = params["user_embedding"][user]
-        item_e = params["item_embedding"][item] if item is not None else None
+        user_e = self.lookup(params["user_embedding"], user)
+        item_e = self.lookup(params["item_embedding"], item) if item is not None else None
         user_e, state = self._apply_filters(
             params, state, user_e, sst_list, train, rng, sample_weight
         )
@@ -60,7 +60,7 @@ class PFCN_MLP(PFCNBase):
         user_e, pos_e, state = self._user_item_embed(
             params, state, user, pos_item, sst_list, train, r1, sample_weight
         )
-        neg_e = params["item_embedding"][neg_item]
+        neg_e = self.lookup(params["item_embedding"], neg_item)
         pos_s = self._mlp_score(params, user_e, pos_e, train, r2)
         neg_s = self._mlp_score(params, user_e, neg_e, train, r3)
         return pos_s, neg_s, state

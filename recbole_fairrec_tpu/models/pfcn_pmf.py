@@ -30,8 +30,8 @@ class PFCN_PMF(PFCNBase):
 
     def _user_item_embed(self, params, state, user, item, sst_list, train, rng,
                          sample_weight=None):
-        user_e = params["user_embedding"][user]
-        item_e = params["item_embedding"][item] if item is not None else None
+        user_e = self.lookup(params["user_embedding"], user)
+        item_e = self.lookup(params["item_embedding"], item) if item is not None else None
         user_e, state = self._apply_filters(
             params, state, user_e, sst_list, train, rng, sample_weight
         )
@@ -42,7 +42,7 @@ class PFCN_PMF(PFCNBase):
         user_e, pos_e, state = self._user_item_embed(
             params, state, user, pos_item, sst_list, train, rng, sample_weight
         )
-        neg_e = params["item_embedding"][neg_item]
+        neg_e = self.lookup(params["item_embedding"], neg_item)
         pos_s = jnp.sum(user_e * pos_e, axis=-1)
         neg_s = jnp.sum(user_e * neg_e, axis=-1)
         return pos_s, neg_s, state

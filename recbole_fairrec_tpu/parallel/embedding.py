@@ -38,12 +38,15 @@ def sharded_gather(table, ids):
     return table[ids]
 
 
-def bucket_allgather_lookup(mesh, table, ids, axis="model"):
+def bucket_allgather_lookup(mesh, table, ids, axis="model", data_axis=None):
     """Explicit pull-style lookup over a row-sharded table.
 
-    Each shard owns rows [lo, hi). All shards receive every id (ids are
-    replicated across ``axis``), mask out the ids they don't own, gather
-    locally, and psum partial one-hot results across the axis.
+    Each shard owns rows [lo, hi). All shards receive every id of their data
+    slice, mask out the ids they don't own, gather locally, and psum the
+    partial results across the model axis. With ``data_axis`` set, the id
+    vector stays split over that axis (the classic 2-D layout: each data
+    shard pulls only its own rows from every model shard), so the psum rides
+    the model axis only and no batch replication happens.
     """
     n_shards = mesh.shape[axis]
     rows_per_shard = table.shape[0] // n_shards
@@ -53,23 +56,23 @@ def bucket_allgather_lookup(mesh, table, ids, axis="model"):
             f"size [{n_shards}] — pad the table"
         )
 
-    def kernel(table_shard, ids_rep):
+    def kernel(table_shard, ids_slice):
         shard_idx = jax.lax.axis_index(axis)
         lo = shard_idx * rows_per_shard
-        local = ids_rep - lo
+        local = ids_slice - lo
         owned = (local >= 0) & (local < rows_per_shard)
         safe = jnp.where(owned, local, 0)
         partial = jnp.where(owned[:, None], table_shard[safe], 0.0)
         return jax.lax.psum(partial, axis)
 
-    other_axes = [a for a in mesh.axis_names if a != axis]
+    ids_spec = P(data_axis) if data_axis else P()
+    out_spec = P(data_axis, None) if data_axis else P()
     return shard_map(
         kernel,
         mesh=mesh,
-        in_specs=(P(axis, None), P()),
-        out_specs=P(),
+        in_specs=(P(axis, None), ids_spec),
+        out_specs=out_spec,
         check_vma=False,
-       
     )(table, ids)
 
 

@@ -17,17 +17,19 @@ from jax import shard_map
 
 
 def distributed_topk_scores(mesh, user_emb, item_table, top_k, axis="model",
-                            mask_cols=None):
+                            mask_cols=None, valid_rows=None):
     """Top-k over user·itemᵀ with items sharded across ``axis``.
 
     Args:
         mesh: device mesh.
         user_emb: [B, d] user representations (replicated over ``axis``).
         item_table: [I, d] item embeddings, rows split over ``axis``
-            (I divisible by the axis size).
+            (I divisible by the axis size — see ``pad_table_rows``).
         top_k: static k.
         mask_cols: optional [B, I] bool mask of forbidden items (history /
             PAD), sharded like the score matrix.
+        valid_rows: optional static count of REAL table rows; padding rows
+            appended by ``pad_table_rows`` score −inf and can never win.
 
     Returns:
         (topk_scores [B, k], topk_idx [B, k]) with GLOBAL item indices.
@@ -36,15 +38,28 @@ def distributed_topk_scores(mesh, user_emb, item_table, top_k, axis="model",
     rows_per_shard = item_table.shape[0] // n_shards
     use_mask = mask_cols is not None
 
+    # a shard can hold fewer rows than k (tiny catalogs / large k'); its
+    # local candidate list is then the whole shard, padded to k with −inf
+    local_k = min(top_k, rows_per_shard)
+
     def body(shard_idx, u, items, mask):
         scores = jnp.dot(u, items.T, preferred_element_type=jnp.float32)
         if mask is not None:
             scores = jnp.where(mask, -jnp.inf, scores)
-        local_scores, local_idx = jax.lax.top_k(scores, top_k)
-        global_idx = local_idx + shard_idx * rows_per_shard
+        col0 = shard_idx * rows_per_shard
+        if valid_rows is not None and valid_rows < n_shards * rows_per_shard:
+            cols = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(cols < valid_rows, scores, -jnp.inf)
+        local_scores, local_idx = jax.lax.top_k(scores, local_k)
+        global_idx = local_idx + col0
         # gather every shard's candidates and re-rank
         cand_scores = jax.lax.all_gather(local_scores, axis, axis=1, tiled=True)
         cand_idx = jax.lax.all_gather(global_idx, axis, axis=1, tiled=True)
+        if cand_scores.shape[1] < top_k:
+            pad = top_k - cand_scores.shape[1]
+            cand_scores = jnp.pad(cand_scores, ((0, 0), (0, pad)),
+                                  constant_values=-jnp.inf)
+            cand_idx = jnp.pad(cand_idx, ((0, 0), (0, pad)))
         best_scores, pos = jax.lax.top_k(cand_scores, top_k)
         best_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
         return best_scores, best_idx

@@ -14,12 +14,41 @@ from .data import create_dataset, data_preparation
 from .utils import dict2str, get_model, get_trainer, init_logger, init_seed, set_color
 
 
+def init_multihost(config_dict=None):
+    """Multi-host SPMD bootstrap: call ``jax.distributed.initialize`` before
+    any other jax use so every process sees the global device set.
+
+    Activated by ``config_dict['multihost'] = True`` (optionally with
+    ``coordinator_address`` / ``num_processes`` / ``process_id``; without
+    them jax reads its standard cluster environment variables). No reference
+    counterpart — the reference is single-process (SURVEY.md §2.4). Safe
+    no-op when already initialized or single-process.
+    """
+    cfg = config_dict or {}
+    if not cfg.get("multihost"):
+        return False
+    import jax
+
+    kwargs = {
+        k: cfg[k]
+        for k in ("coordinator_address", "num_processes", "process_id")
+        if cfg.get(k) is not None
+    }
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+    return True
+
+
 def run_recbole(model=None, dataset=None, config_file_list=None, config_dict=None, saved=True):
     """Train and test a model from config.
 
     Returns dict with best_valid_score / valid_score_bigger /
     best_valid_result / test_result.
     """
+    init_multihost(config_dict)
     config = Config(
         model=model, dataset=dataset, config_file_list=config_file_list, config_dict=config_dict
     )

@@ -7,11 +7,22 @@ max_evals, fixed_config_file_list)``, ``.run()``, ``.export_result()``,
 (lines of ``<name> <type> <spec>`` with types choice / uniform / quniform /
 loguniform, :177-202).
 
-The reference wraps hyperopt; this environment has no hyperopt, so the two
-algorithms that matter are implemented directly: ``exhaustive`` (grid over
-choice spaces — the reference's custom suggest fn, :84-126) and ``random``
-(uniform sampling of each dimension). The objective contract is unchanged:
-one full train+test per trial via ``objective_function``.
+The reference wraps hyperopt; this environment has no hyperopt, so all four
+algorithms the reference accepts (:129+) are implemented directly:
+
+* ``exhaustive`` — grid over choice spaces (the reference's custom suggest
+  fn, :84-126);
+* ``random`` — uniform sampling of each dimension;
+* ``anneal`` — hyperopt-style simulated annealing: sample near the best
+  observed point with a neighborhood that shrinks over trials, mixed with
+  occasional uniform exploration;
+* ``bayes`` — TPE (the surrogate behind hyperopt's ``tpe.suggest``): after a
+  random startup phase, draw a candidate pool and pick the point maximizing
+  the density ratio good-trials / bad-trials (Gaussian kernels on continuous
+  dims, smoothed counts on choice dims).
+
+The objective contract is unchanged: one full train+test per trial via
+``objective_function``.
 """
 
 from __future__ import annotations
@@ -59,6 +70,52 @@ class _Dim:
             return float(np.exp(rng.uniform(low, high)))
         raise ValueError(f"unknown parameter type [{self.kind}]")
 
+    def perturb(self, value, frac, rng):
+        """Neighbor of ``value`` with relative neighborhood size ``frac``
+        (annealing move)."""
+        if self.kind == "choice":
+            if rng.rand() < max(frac, 1.0 / max(len(self.spec), 1)):
+                return self.spec[rng.randint(len(self.spec))]
+            return value
+        if self.kind == "uniform":
+            low, high = self.spec
+            return float(np.clip(rng.normal(value, frac * (high - low) / 2), low, high))
+        if self.kind == "quniform":
+            low, high, q = self.spec
+            v = np.clip(rng.normal(value, frac * (high - low) / 2), low, high)
+            return float(np.round(v / q) * q)
+        if self.kind == "loguniform":
+            low, high = self.spec  # bounds in log space (hyperopt convention)
+            lv = np.clip(rng.normal(np.log(value), frac * (high - low) / 2), low, high)
+            return float(np.exp(lv))
+        raise ValueError(f"unknown parameter type [{self.kind}]")
+
+    def _numeric(self, value):
+        """Map a value to the space where kernels make sense."""
+        if self.kind == "choice":
+            return None
+        return float(np.log(value)) if self.kind == "loguniform" else float(value)
+
+    def log_likelihood(self, value, observed):
+        """Kernel density of ``value`` under the observed set (TPE)."""
+        if self.kind == "choice":
+            counts = {c: 1.0 for c in self.spec}  # +1 smoothing
+            for o in observed:
+                counts[o] = counts.get(o, 1.0) + 1.0
+            total = sum(counts.values())
+            return float(np.log(counts.get(value, 1.0) / total))
+        x = self._numeric(value)
+        obs = np.asarray([self._numeric(o) for o in observed], dtype=np.float64)
+        if self.kind == "loguniform":
+            low, high = self.spec
+            span = high - low
+        else:
+            low, high = self.spec[0], self.spec[1]
+            span = high - low
+        bw = max(obs.std() * len(obs) ** -0.2, 0.05 * span, 1e-12)
+        dens = np.exp(-0.5 * ((x - obs) / bw) ** 2).sum() / (len(obs) * bw * np.sqrt(2 * np.pi))
+        return float(np.log(max(dens, 1e-300)))
+
 
 class HyperTuning:
     def __init__(
@@ -98,12 +155,13 @@ class HyperTuning:
                 self.max_evals = int(
                     np.prod([len(d.enumerate()) for d in self.space.values()])
                 )
-            elif algo == "random":
-                self.algo = "random"
+            elif algo in ("random", "anneal", "bayes"):
+                self.algo = algo
             else:
                 raise ValueError(f"Illegal algo [{algo}]")
         else:
             self.algo = algo
+        self._history = []  # (params, score, bigger) per completed trial
 
     # ---------------------------------------------------------------- spaces
 
@@ -187,6 +245,7 @@ class HyperTuning:
         result_dict = self.objective_function(config_dict, self.fixed_config_file_list)
         self.params2result[params_str] = result_dict
         score, bigger = result_dict["best_valid_score"], result_dict["valid_score_bigger"]
+        self._history.append((dict(params), score, bigger))
 
         if self.best_score is None:
             improved = True
@@ -200,6 +259,10 @@ class HyperTuning:
         return score
 
     def _candidates(self):
+        """Lazily yields the next trial's params. The ``run`` loop executes
+        each trial before pulling the next candidate, so the adaptive
+        algorithms (anneal / bayes) see every completed result in
+        ``self._history``."""
         if self.algo == "exhaustive":
             names = list(self.space.keys())
             grids = [self.space[n].enumerate() for n in names]
@@ -209,6 +272,44 @@ class HyperTuning:
             rng = np.random.RandomState(self.seed)
             for _ in range(self.max_evals):
                 yield {n: d.sample(rng) for n, d in self.space.items()}
+        elif self.algo == "anneal":
+            rng = np.random.RandomState(self.seed)
+            for i in range(self.max_evals):
+                if self.best_params is None or rng.rand() < 0.3:
+                    yield {n: d.sample(rng) for n, d in self.space.items()}
+                else:
+                    frac = max(1.0 - i / max(self.max_evals - 1, 1), 0.05)
+                    yield {
+                        n: d.perturb(self.best_params[n], frac, rng)
+                        for n, d in self.space.items()
+                    }
+        elif self.algo == "bayes":
+            rng = np.random.RandomState(self.seed)
+            n_startup = min(10, max(self.max_evals // 3, 1))
+            pool = 50
+            for i in range(self.max_evals):
+                if len(self._history) < n_startup:
+                    yield {n: d.sample(rng) for n, d in self.space.items()}
+                    continue
+                # TPE: rank trials, split top-γ "good" vs rest "bad"
+                bigger = self._history[0][2]
+                ranked = sorted(
+                    self._history, key=lambda t: t[1], reverse=bool(bigger)
+                )
+                n_good = max(1, int(np.ceil(0.25 * len(ranked))))
+                good = [t[0] for t in ranked[:n_good]]
+                bad = [t[0] for t in ranked[n_good:]] or good
+                best, best_ratio = None, -np.inf
+                for _ in range(pool):
+                    cand = {n: d.sample(rng) for n, d in self.space.items()}
+                    ratio = sum(
+                        d.log_likelihood(cand[n], [g[n] for g in good])
+                        - d.log_likelihood(cand[n], [b[n] for b in bad])
+                        for n, d in self.space.items()
+                    )
+                    if ratio > best_ratio:
+                        best, best_ratio = cand, ratio
+                yield best
         else:  # custom callable: algo(space, rng) -> iterable of param dicts
             rng = np.random.RandomState(self.seed)
             yield from self.algo(self.space, rng)

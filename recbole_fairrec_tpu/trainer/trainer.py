@@ -22,6 +22,7 @@ TPU-first redesign:
 
 from __future__ import annotations
 
+import itertools
 import os
 import pickle
 from logging import getLogger
@@ -77,6 +78,8 @@ class AbstractTrainer:
 
 
 class Trainer(AbstractTrainer):
+    _ckpt_counter = itertools.count()
+
     def __init__(self, config, model):
         super().__init__(config, model)
         self.logger = getLogger()
@@ -93,7 +96,13 @@ class Trainer(AbstractTrainer):
         self.test_batch_size = config["eval_batch_size"]
         self.checkpoint_dir = config["checkpoint_dir"]
         ensure_dir(self.checkpoint_dir)
-        saved_model_file = f'{self.config["model"]}-{get_local_time()}.pth'
+        # pid + process-local counter uniquify the name: the reference's
+        # second-granularity timestamp collides for trainers created within
+        # one second (e.g. pretrain→finetune handoffs, test suites)
+        saved_model_file = (
+            f'{self.config["model"]}-{get_local_time()}'
+            f"-{os.getpid()}-{next(self._ckpt_counter)}.pth"
+        )
         self.saved_model_file = os.path.join(self.checkpoint_dir, saved_model_file)
         self.weight_decay = config["weight_decay"] or 0.0
 
@@ -134,6 +143,9 @@ class Trainer(AbstractTrainer):
             self.params = jax.tree_util.tree_map(
                 jax.device_put, self.params, self._param_shardings
             )
+            # models route embedding lookups through the explicit exchange
+            # when config['embedding_exchange'] == 'allgather'
+            self.model.runtime_mesh = self.mesh
             self.logger.info(f"sharded execution over mesh {dict(self.mesh.shape)}")
 
     # ------------------------------------------------------------ optimizer
@@ -208,15 +220,10 @@ class Trainer(AbstractTrainer):
 
     # ------------------------------------------------------------ jit steps
 
-    def _get_update_fn(self, loss_name, sst_list, tx_tag="main"):
-        # train_stage is static model state baked into traces (FairGo's
-        # pretrain/finetune switch) — it must key the cache
-        key = (loss_name, sst_list, tx_tag, getattr(self.model, "train_stage", None))
-        if key in self._update_cache:
-            return self._update_cache[key]
-
+    def _make_step(self, loss_name, sst_list, tx):
+        """One SGD step as a pure function (shared by the single-dispatch and
+        scan-macro-batched executables)."""
         model = self.model
-        tx = self._tx_by_tag(tx_tag)
         loss_method = getattr(model, loss_name)
         used_keys = getattr(self, "_device_used_keys", None)
         inject_negs = (
@@ -230,7 +237,7 @@ class Trainer(AbstractTrainer):
             uid_field, neg_field = model.USER_ID, model.NEG_ITEM_ID
             n_items = model.n_items
 
-        def update(params, model_state, opt_state, rng, batch):
+        def step(params, model_state, opt_state, rng, batch):
             if inject_negs:
                 rng, neg_rng = jax.random.split(rng)
                 negs = sample_negatives(
@@ -246,6 +253,45 @@ class Trainer(AbstractTrainer):
             updates, new_opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             return loss, new_params, new_state, new_opt_state
+
+        return step
+
+    def _get_update_fn(self, loss_name, sst_list, tx_tag="main"):
+        # train_stage is static model state baked into traces (FairGo's
+        # pretrain/finetune switch) — it must key the cache
+        key = (loss_name, sst_list, tx_tag, getattr(self.model, "train_stage", None))
+        if key in self._update_cache:
+            return self._update_cache[key]
+        step = self._make_step(loss_name, sst_list, self._tx_by_tag(tx_tag))
+        compiled = jax.jit(step, donate_argnums=(0, 2))
+        self._update_cache[key] = compiled
+        return compiled
+
+    def _get_scan_update_fn(self, loss_name, sst_list, tx_tag, n_steps):
+        """``n_steps`` sequential SGD steps fused into ONE device dispatch via
+        lax.scan — the exact same per-batch update sequence as n_steps calls
+        of the single-step executable, minus n_steps−1 host↔device round
+        trips. Built for the TPU-tunnel regime where per-dispatch latency
+        (~ms) dwarfs the per-batch compute (~µs)."""
+        key = ("scan", loss_name, sst_list, tx_tag, n_steps,
+               getattr(self.model, "train_stage", None))
+        if key in self._update_cache:
+            return self._update_cache[key]
+        step = self._make_step(loss_name, sst_list, self._tx_by_tag(tx_tag))
+
+        def update(params, model_state, opt_state, keys, stacked):
+            def body(carry, xs):
+                params, model_state, opt_state = carry
+                rng, batch = xs
+                loss, params, model_state, opt_state = step(
+                    params, model_state, opt_state, rng, batch
+                )
+                return (params, model_state, opt_state), loss
+
+            (params, model_state, opt_state), losses = jax.lax.scan(
+                body, (params, model_state, opt_state), (keys, stacked)
+            )
+            return jnp.sum(losses), params, model_state, opt_state
 
         compiled = jax.jit(update, donate_argnums=(0, 2))
         self._update_cache[key] = compiled
@@ -264,9 +310,10 @@ class Trainer(AbstractTrainer):
 
     _EXCLUDE_FIELDS = ()
 
-    def _to_batch(self, interaction: Interaction, pad_to=None):
+    def _to_batch(self, interaction: Interaction, pad_to=None, force_weight=False):
         """Interaction → dict of arrays, optionally padded to a static shape
-        with a ``__weight__`` validity mask."""
+        with a ``__weight__`` validity mask. ``force_weight`` emits the mask
+        even for full batches so macro-chunks have a uniform key set."""
         n = len(interaction)
         target = pad_to or n
         batch = {}
@@ -276,7 +323,7 @@ class Trainer(AbstractTrainer):
                 pad_width = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
                 arr = np.pad(arr, pad_width, mode="edge")
             batch[key] = arr
-        if target > n:
+        if target > n or force_weight:
             w = np.zeros(target, dtype=np.float32)
             w[:n] = 1.0
             batch["__weight__"] = w
@@ -301,14 +348,22 @@ class Trainer(AbstractTrainer):
     def _run_epoch(self, train_data, loss_name="calculate_loss", sst_list=None, tx_tag="main"):
         """One pass over the loader with the given static (loss, subset,
         optimizer) selection — each distinct triple is its own compiled
-        executable."""
+        executable.
+
+        Consecutive same-shape batches are fused ``train_macro_steps`` at a
+        time into one lax.scan dispatch (identical update sequence, far fewer
+        host↔device round trips). Odd-shaped tails go through the single-step
+        executable unchanged.
+        """
         total_loss = None
         canonical = getattr(train_data, "max_batch_rows", None) or train_data.batch_size
         canonical = _bucket(canonical)
-        for batch_idx, interaction in enumerate(train_data):
-            n = len(interaction)
-            pad_to = canonical if n <= canonical else _bucket(n)
-            batch = self._to_batch(interaction, pad_to=pad_to)
+        macro = int(self.config["train_macro_steps"] or 1)
+        if self.mesh is not None:
+            macro = 1  # mesh path shards per-batch rows; keep 1 dispatch/step
+
+        def run_single(batch):
+            nonlocal total_loss
             self.rng, step_rng = jax.random.split(self.rng)
             update = self._get_update_fn(loss_name, sst_list, tx_tag)
             loss, self.params, self.model_state, new_opt = update(
@@ -318,6 +373,48 @@ class Trainer(AbstractTrainer):
             # accumulate on device — a float() here would force a round-trip
             # per step and serialize the dispatch pipeline
             total_loss = loss if total_loss is None else total_loss + loss
+
+        def run_chunk(chunk):
+            nonlocal total_loss
+            if len(chunk) == 1:
+                return run_single(chunk[0])
+            stacked = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
+            # derive step keys by the SAME sequential splits as the per-step
+            # path, so macro batching is bit-identical to running the single
+            # update len(chunk) times
+            step_keys = []
+            for _ in chunk:
+                self.rng, step_rng = jax.random.split(self.rng)
+                step_keys.append(step_rng)
+            update = self._get_scan_update_fn(loss_name, sst_list, tx_tag, len(chunk))
+            loss, self.params, self.model_state, new_opt = update(
+                self.params, self.model_state, self._opt_state_by_tag(tx_tag),
+                jnp.stack(step_keys), stacked,
+            )
+            self._set_opt_state_by_tag(tx_tag, new_opt)
+            total_loss = loss if total_loss is None else total_loss + loss
+
+        pending = []
+        for batch_idx, interaction in enumerate(train_data):
+            n = len(interaction)
+            pad_to = canonical if n <= canonical else _bucket(n)
+            # macro mode always carries __weight__ so every batch in a chunk
+            # has the same key set (weights of 1.0 are the identity in wmean)
+            batch = self._to_batch(
+                interaction, pad_to=pad_to, force_weight=macro > 1
+            )
+            if macro <= 1:
+                run_single(batch)
+                continue
+            if pending and pad_to != pending[0]["__weight__"].shape[0]:
+                run_chunk(pending)
+                pending = []
+            pending.append(batch)
+            if len(pending) == macro:
+                run_chunk(pending)
+                pending = []
+        if pending:
+            run_chunk(pending)
         if total_loss is None:
             return None
         total = float(total_loss)  # single sync per epoch
@@ -847,14 +944,27 @@ class Trainer(AbstractTrainer):
         use_pallas = (
             self.config["use_pallas"] is not False and jax.default_backend() == "tpu"
         )
-        if use_pallas:
+        if self._distributed_eval_ok():
+            # item-sharded scoring + cross-shard candidate merge over ICI
+            from ..parallel.embedding import pad_table_rows
+            from ..parallel.eval import distributed_topk_scores
+
+            n_model = self.mesh.shape["model"]
+            table, n_valid = pad_table_rows(item_table, n_model)
+            _, cand_i = distributed_topk_scores(
+                self.mesh, user_repr, table, k_prime, valid_rows=n_valid
+            )
+            self._last_eval_path = "distributed"
+        elif use_pallas:
             from ..ops.pallas.fused_topk import fused_topk_scores
 
             _, cand_i = fused_topk_scores(
                 user_repr, item_table, k_prime, precision="highest"
             )
+            self._last_eval_path = "streaming-pallas"
         else:
             _, cand_i = streaming_topk_scores(user_repr, item_table, k_prime)
+            self._last_eval_path = "streaming"
         cand_i = np.asarray(cand_i)[:B]
 
         # host-side PAD + history filtering, then truncate to k
@@ -911,16 +1021,31 @@ class Trainer(AbstractTrainer):
             and self._fused_eval_ok()
         )
 
+    def _distributed_eval_ok(self):
+        """Mesh-mode full-sort eval scores item shards in place and merges
+        k·n_shards candidates over ICI (parallel/eval.py) instead of running
+        the replicated scorer — on whenever a model axis exists, unless
+        config['distributed_eval'] is explicitly False."""
+        return (
+            self.mesh is not None
+            and self.mesh.shape.get("model", 1) > 1
+            and self.config["distributed_eval"] is not False
+            and hasattr(self.model, "retrieval_embeddings")
+            and self._fused_eval_ok()
+        )
+
     def _collect_batch(self, kind, batched_data, sst_list=None):
         """Score one eval batch and feed the collector, fused when possible."""
         if kind == "full":
-            if self._streaming_eval_ok():
+            if self._distributed_eval_ok() or self._streaming_eval_ok():
                 return self._collect_full_sort_streaming(batched_data, sst_list)
             if self._fused_eval_ok():
                 try:
+                    self._last_eval_path = "fused"
                     return self._collect_full_sort_fused(batched_data, sst_list)
                 except NotImplementedError:
                     pass
+            self._last_eval_path = "host"
             interaction, scores, positive_u, positive_i = self._full_sort_batch_eval(
                 batched_data, sst_list
             )

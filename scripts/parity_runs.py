@@ -175,11 +175,12 @@ def run_one(run_key, framework, seed, device="cpu"):
         # phase A first (same framework+seed), reuse if already done
         pre_tag = f"NFCF_pre_{framework}_{seed}" + ("" if device == "cpu" else f"_{device}")
         pre_ckpt_dir = os.path.join(RUNS_DIR, "ckpt", pre_tag)
-        suffix = "*.pth" if framework == "ref" else "*.pkl"
-        existing = sorted(glob.glob(os.path.join(pre_ckpt_dir, "NFCF-*" + suffix[1:])))
+        # both frameworks name checkpoints NFCF-<time>...pth (ours is pickle
+        # inside but keeps the reference's extension)
+        existing = sorted(glob.glob(os.path.join(pre_ckpt_dir, "NFCF-*.pth")))
         if not existing:
             run_one("NFCF_pre", framework, seed, device)
-            existing = sorted(glob.glob(os.path.join(pre_ckpt_dir, "NFCF-*" + suffix[1:])))
+            existing = sorted(glob.glob(os.path.join(pre_ckpt_dir, "NFCF-*.pth")))
         assert existing, f"no pretrain checkpoint found in {pre_ckpt_dir}"
         extra = {"pretrain_path": existing[-1]}
 

@@ -26,6 +26,11 @@ def setup_reference():
     """Idemptent: make `import recbole` resolve to the reference."""
     if _state["done"]:
         return
+    # the reference Config swallows sys.argv and raises on duplicate args
+    # (configurator.py:145-165) — pytest's own flags (e.g. two --ignore=)
+    # must not leak into it
+    _state["argv"] = sys.argv[:]
+    sys.argv = sys.argv[:1]
     for mod in ("colorlog", "colorama", "wandb", "hyperopt"):
         try:
             __import__(mod)
@@ -111,7 +116,10 @@ def teardown_reference():
         sys.modules.pop(mod, None)
     if _state["np_float_added"] and hasattr(np, "float"):
         del np.float
-    _state.update(stubs=[], path_added=False, np_float_added=False, done=False)
+    if _state.get("argv") is not None:
+        sys.argv = _state["argv"]
+    _state.update(stubs=[], path_added=False, np_float_added=False, done=False,
+                  argv=None)
 
 
 # --------------------------------------------------------- weight injection

@@ -176,3 +176,37 @@ def test_dataloader_cache_roundtrip(tiny_data_path, tmp_path):
     cfg2["threshold"] = {"rating": 4.0}
     c2 = Config(config_dict=cfg2)
     assert load_split_dataloaders(c2) is None
+
+
+@pytest.mark.parametrize("algo", ["anneal", "bayes"])
+def test_hyper_tuning_adaptive_algos(algo):
+    """anneal/bayes (reference hyper_tuning.py:129+) run the full budget and
+    land near the optimum of a smooth synthetic objective."""
+    from recbole_fairrec_tpu.trainer.hyper_tuning import HyperTuning
+
+    def objective(config_dict, fixed_config_file_list):
+        x = config_dict["x"]
+        c = config_dict["c"]
+        score = -((x - 0.3) ** 2) - 0.1 * abs(c - 2)
+        return {
+            "best_valid_score": score,
+            "valid_score_bigger": True,
+            "best_valid_result": {"score": score},
+            "test_result": {"score": score},
+        }
+
+    ht = HyperTuning(
+        objective,
+        params_dict={"uniform": {"x": [0.0, 1.0]}, "choice": {"c": [1, 2, 3]}},
+        algo=algo,
+        max_evals=40,
+        seed=3,
+    )
+    ht.run()
+    # anneal may revisit a point; params2result dedups by param string
+    assert len(ht._history) == 40 and len(ht.params2result) >= 30
+    assert ht.best_params["c"] == 2
+    assert abs(ht.best_params["x"] - 0.3) < 0.15
+    assert ht.best_score == pytest.approx(
+        max(r["best_valid_score"] for r in ht.params2result.values())
+    )

@@ -185,3 +185,187 @@ def test_trainer_with_mesh_end_to_end(tiny_data_path, tmp_path):
         },
     )
     assert 0.0 <= res["test_result"]["ndcg@5"] <= 1.0
+
+
+# ------------------------------------------------------------ round 2: wiring
+
+
+def test_bucket_allgather_lookup_data_axis(mesh):
+    """2-D layout: ids split over 'data', table rows over 'model' — results
+    must match the dense gather with no batch replication."""
+    rng = np.random.RandomState(5)
+    table = jnp.asarray(rng.randn(64, 16).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, 64, 40))  # 40 % data-axis(4) == 0
+    dense = np.asarray(table[ids])
+    sharded = shard_table(mesh, table)
+    out = bucket_allgather_lookup(mesh, sharded, ids, data_axis="data")
+    np.testing.assert_allclose(np.asarray(out), dense, rtol=1e-6)
+
+
+def test_distributed_topk_valid_rows(mesh):
+    """Rows appended by pad_table_rows can never win the top-k."""
+    rng = np.random.RandomState(6)
+    users = jnp.asarray(rng.randn(6, 8).astype(np.float32))
+    real = rng.randn(30, 8).astype(np.float32)
+    padded, n_valid = pad_table_rows(jnp.asarray(real), mesh.shape["model"])
+    assert padded.shape[0] == 30  # 30 % 2 == 0 already
+    # force actual padding with 31 real rows
+    padded, n_valid = pad_table_rows(jnp.asarray(np.vstack([real, real[:1]])), 2)
+    assert padded.shape[0] == 32 and n_valid == 31
+
+    dense = np.asarray(users) @ np.asarray(padded[:n_valid]).T
+    expect_idx = np.argsort(-dense, axis=1)[:, :5]
+    scores, idx = distributed_topk_scores(mesh, users, padded, top_k=5, valid_rows=n_valid)
+    assert (np.asarray(idx) < n_valid).all()
+    np.testing.assert_array_equal(np.sort(np.asarray(idx), 1), np.sort(expect_idx, 1))
+
+
+def _build_pfcn_none(data_path, tmp_path, extra):
+    from recbole_fairrec_tpu.config import Config
+    from recbole_fairrec_tpu.data import create_dataset, data_preparation
+    from recbole_fairrec_tpu.trainer import Trainer
+    from recbole_fairrec_tpu.utils import get_model, init_seed
+
+    cfg = {
+        "data_path": str(data_path),
+        "load_col": {"inter": ["user_id", "item_id", "rating"],
+                     "user": ["user_id", "gender"]},
+        "filter_mode": "none",
+        "metrics": ["NDCG", "Recall", "Hit", "MRR"],
+        "topk": [5], "valid_metric": "NDCG@5",
+        "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "RO",
+                      "group_by": "user", "mode": "full"},
+        "show_progress": False, "state": "ERROR",
+        "checkpoint_dir": str(tmp_path / "saved"),
+    }
+    cfg.update(extra)
+    config = Config(model="PFCN_PMF", dataset="tiny", config_dict=cfg)
+    init_seed(config["seed"], config["reproducibility"])
+    dataset = create_dataset(config)
+    train_data, valid_data, _ = data_preparation(config, dataset)
+    model = get_model("PFCN_PMF")(config, train_data.dataset)
+    trainer = Trainer(config, model)
+    return trainer, valid_data
+
+
+def test_mesh_evaluate_uses_distributed_topk(tiny_data_path, tmp_path):
+    """Under mesh_shape with a model axis, Trainer.evaluate must route
+    full-sort scoring through the item-sharded distributed top-k (VERDICT r1
+    item 4) and agree with the single-device fused path: identical top-k SET
+    (hit/recall bitwise) and rank metrics within head-saturation-tie slack."""
+    base_tr, base_eval = _build_pfcn_none(tiny_data_path, tmp_path / "a", {})
+    base = dict(base_tr.evaluate(base_eval, load_best_model=False))
+    assert base_tr._last_eval_path == "fused"
+
+    mesh_tr, mesh_eval = _build_pfcn_none(
+        tiny_data_path, tmp_path / "b", {"mesh_shape": [2, 4]}
+    )
+    dist = dict(mesh_tr.evaluate(mesh_eval, load_best_model=False))
+    assert mesh_tr._last_eval_path == "distributed"
+
+    assert set(base) == set(dist)
+    for k in base:
+        if k.startswith(("recall", "hit")):
+            assert base[k] == dist[k], k
+        else:
+            assert abs(base[k] - dist[k]) < 2e-3, k
+
+
+def test_model_lookup_allgather_exchange_matches_plain():
+    """config['embedding_exchange']='allgather' routes model lookups through
+    the explicit shard_map exchange; loss and grads must match the
+    declarative path."""
+    from recbole_fairrec_tpu.models.pfcn_pmf import PFCN_PMF
+
+    class _Cfg(dict):
+        def __getitem__(self, k):
+            return self.get(k)
+
+    class _Feat(dict):
+        @property
+        def columns(self):
+            return list(self.keys())
+
+    n_users, n_items = 32, 40
+    rng = np.random.RandomState(7)
+
+    class _DS:
+        user_num, item_num = n_users, n_items
+
+        def num(self, field):
+            return {"user_id": n_users, "item_id": n_items}[field]
+
+        def get_user_feature(self):
+            return _Feat(user_id=np.arange(n_users),
+                         gender=np.r_[0, rng.randint(1, 3, n_users - 1)])
+
+    cfg = _Cfg(USER_ID_FIELD="user_id", ITEM_ID_FIELD="item_id",
+               NEG_PREFIX="neg_", sst_attr_list=["gender"],
+               embedding_size=16, filter_mode="none", activation="leakyrelu")
+    model = PFCN_PMF(cfg, _DS())
+    params, _ = model.init_params(jax.random.PRNGKey(0))
+    batch = {
+        "user_id": jnp.asarray(rng.randint(1, n_users, 16)),
+        "item_id": jnp.asarray(rng.randint(1, n_items, 16)),
+        "neg_item_id": jnp.asarray(rng.randint(1, n_items, 16)),
+    }
+
+    def loss_fn(p):
+        loss, _ = model.calculate_loss(p, {}, batch)
+        return loss
+
+    loss_plain, grads_plain = jax.value_and_grad(loss_fn)(params)
+
+    m = make_mesh((4, 2))
+    model.runtime_mesh = m
+    cfg["embedding_exchange"] = "allgather"
+    params_s = shard_params(m, params)
+    loss_x, grads_x = jax.jit(jax.value_and_grad(loss_fn))(params_s)
+
+    assert abs(float(loss_plain) - float(loss_x)) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(grads_plain["user_embedding"]),
+        np.asarray(grads_x["user_embedding"]), atol=1e-5,
+    )
+
+
+def test_init_multihost_noop():
+    from recbole_fairrec_tpu.quick_start import init_multihost
+
+    assert init_multihost({}) is False
+    assert init_multihost(None) is False
+
+
+def test_macro_scan_epoch_matches_single_step(tiny_data_path, tmp_path):
+    """train_macro_steps fuses k updates into one lax.scan dispatch; the
+    resulting params and epoch loss must match the per-step path."""
+    def run(macro, sub):
+        from recbole_fairrec_tpu.config import Config
+        from recbole_fairrec_tpu.data import create_dataset, data_preparation
+        from recbole_fairrec_tpu.trainer import Trainer
+        from recbole_fairrec_tpu.utils import get_model, init_seed
+
+        config = Config(model="PFCN_PMF", dataset="tiny", config_dict={
+            "data_path": str(tiny_data_path),
+            "load_col": {"inter": ["user_id", "item_id", "rating"],
+                         "user": ["user_id", "gender"]},
+            "filter_mode": "none", "train_batch_size": 128,
+            "train_macro_steps": macro,
+            "show_progress": False, "state": "ERROR",
+            "checkpoint_dir": str(tmp_path / sub),
+        })
+        init_seed(config["seed"], config["reproducibility"])
+        dataset = create_dataset(config)
+        train_data, _, _ = data_preparation(config, dataset)
+        model = get_model("PFCN_PMF")(config, train_data.dataset)
+        trainer = Trainer(config, model)
+        loss = trainer._train_epoch(train_data, 0)
+        return loss, trainer.params
+
+    loss_1, params_1 = run(1, "a")
+    loss_k, params_k = run(4, "b")
+    assert loss_1 == pytest.approx(loss_k, rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(params_1["user_embedding"]),
+        np.asarray(params_k["user_embedding"]), atol=1e-5,
+    )
