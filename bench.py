@@ -217,15 +217,26 @@ def bench_pallas_topk():
     return exact, timeit(fused), timeit(dense)
 
 
+def _stage(msg):
+    import sys
+
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     import jax
 
     backend = jax.default_backend()
+    _stage("building pipeline (dataset ETL + loaders)")
     config, trainer, train_data, valid_data = _build()
 
+    _stage("raw train-step throughput")
     step_ex_s = bench_train_step(trainer, train_data)
+    _stage("e2e train epochs")
     epoch_ex_s, epoch_s = bench_train_epoch(trainer, train_data)
+    _stage("full-sort eval variants")
     eval_dense, eval_stream, agree, dense_dt, stream_dt = bench_eval(trainer, valid_data)
+    _stage("pallas top-k exactness")
     pallas_exact, pallas_ms, dense_ms = bench_pallas_topk()
 
     out = {

@@ -151,6 +151,9 @@ def _setup_reference():
     import ref_compat
 
     ref_compat.setup_reference()
+    import recbole  # noqa: F401
+
+    ref_compat.patch_reference_dataset()
 
 
 def _jsonable(obj):

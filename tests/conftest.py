@@ -43,6 +43,7 @@ def ref_recbole(request):
         import recbole
     except Exception as e:  # pragma: no cover - environment-specific
         pytest.skip(f"reference unavailable: {e}")
+    ref_compat.patch_reference_dataset()
     return recbole
 
 

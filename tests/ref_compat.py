@@ -93,6 +93,37 @@ def setup_reference():
     _state["done"] = True
 
 
+def patch_reference_dataset():
+    """Restore Dataset._fill_nan's pandas-1 semantics: under pandas 2
+    copy-on-write the reference's chained `feat[field].fillna(inplace=True)`
+    (dataset.py:570-572) silently no-ops, leaving the PAD row NaN — which
+    leaks into fairness metrics ('sensitive attribute must be binary').
+    Call AFTER recbole imports."""
+    from recbole.data.dataset import Dataset
+    from recbole.utils import FeatureType
+
+    if getattr(Dataset, "_ref_compat_fillnan", False):
+        return
+
+    def _fill_nan(self):
+        for feat_name in self.feat_name_list:
+            feat = getattr(self, feat_name)
+            for field in feat:
+                ftype = self.field2type[field]
+                if ftype == FeatureType.TOKEN:
+                    feat[field] = feat[field].fillna(value=0)
+                elif ftype == FeatureType.FLOAT:
+                    feat[field] = feat[field].fillna(value=feat[field].mean())
+                else:
+                    dtype = np.int64 if ftype == FeatureType.TOKEN_SEQ else float
+                    feat[field] = feat[field].apply(
+                        lambda x: np.array([], dtype=dtype) if isinstance(x, float) else x
+                    )
+
+    Dataset._fill_nan = _fill_nan
+    Dataset._ref_compat_fillnan = True
+
+
 def teardown_reference():
     """Undo setup_reference so later tests see pristine global state."""
     if not _state["done"]:

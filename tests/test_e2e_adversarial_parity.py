@@ -1,0 +1,236 @@
+"""End-to-end eval parity for the ADVERSARIAL trainers vs the reference
+(VERDICT r1 item 7).
+
+* PFCN: the per-subset result keying ('{filter_mode}-{sst_list}', reference
+  trainer.py:1047-1106) and the metric VALUES under injected weights, in both
+  full-sort and sampled (uni100) modes — the latter pinning the sampled-mode
+  fairness payload slicing (reference collector.py:191-205) in its
+  single-user-batch regime.
+* FairGo: the dual pretrain-/finetune- result key sets produced by the
+  two-checkpoint evaluate (reference trainer.py:738-772).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import ref_compat
+from test_loss_parity import (
+    METRICS_FAIR, N_ITEMS, _config_dict, _inject, _write_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    return _write_dataset(str(tmp_path_factory.mktemp("adv")))
+
+
+PFCN_EXTRA = {
+    "filter_mode": "cm",
+    "sst_attr_list": ["gender", "age"],
+    "dis_hidden_size_list": [16, 8],
+    "dis_weight": 10.0,
+    "metrics": METRICS_FAIR,
+    "topk": [5],
+    "valid_metric": "NDCG@5",
+}
+
+
+def _pfcn_cfg(data_root, mode):
+    cfg = _config_dict(data_root, PFCN_EXTRA)
+    cfg["eval_args"] = {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "RO",
+                        "group_by": "user", "mode": mode}
+    # sampled-mode fairness payload slicing assumes one user per batch
+    # (reference collector.py:191-205); 101 = 1 pos + 100 sampled negatives
+    cfg["eval_batch_size"] = 101 if mode == "uni100" else 2048
+    return cfg
+
+
+def _run_ref_pfcn(data_root, tmp, mode, params):
+    from recbole.config import Config
+    from recbole.data import create_dataset, data_preparation
+    from recbole.utils import get_model, get_trainer, init_seed
+
+    cfg = _pfcn_cfg(data_root, mode)
+    cfg["checkpoint_dir"] = os.path.join(tmp, "ref_saved")
+    config = Config(model="PFCN_PMF", dataset="lpd", config_dict=cfg)
+    init_seed(config["seed"], config["reproducibility"])
+    dataset = create_dataset(config)
+    train_data, _, test_data = data_preparation(config, dataset)
+    model = get_model("PFCN_PMF")(config, train_data.dataset).to(config["device"])
+    _inject("PFCN_PMF", model, params)
+    trainer = get_trainer(config["MODEL_TYPE"], "PFCN_PMF")(config, model)
+    trainer.eval_collector.data_collect(train_data)
+    init_seed(config["seed"], config["reproducibility"])
+    result = trainer.evaluate(test_data, load_best_model=False, show_progress=False)
+    return {k: dict(v) for k, v in result.items()}
+
+
+def _run_our_pfcn(data_root, tmp, mode, seed=0):
+    import jax
+
+    from recbole_fairrec_tpu.config import Config
+    from recbole_fairrec_tpu.data import create_dataset, data_preparation
+    from recbole_fairrec_tpu.utils import get_model, get_trainer, init_seed
+
+    cfg = _pfcn_cfg(data_root, mode)
+    cfg["checkpoint_dir"] = os.path.join(tmp, "our_saved")
+    config = Config(model="PFCN_PMF", dataset="lpd", config_dict=cfg)
+    init_seed(config["seed"], config["reproducibility"])
+    dataset = create_dataset(config)
+    train_data, _, test_data = data_preparation(config, dataset)
+    model = get_model("PFCN_PMF")(config, train_data.dataset)
+    trainer = get_trainer(config["MODEL_TYPE"], "PFCN_PMF")(config, model)
+    params, state = model.init_params(jax.random.PRNGKey(seed))
+    # separate the scores: fresh norm(0.01) filters produce near-degenerate
+    # rankings whose order flips on f32 noise across frameworks — scale the
+    # injected weights (same params go into BOTH frameworks, so any choice
+    # is a valid parity point)
+    params = dict(params)
+    if "filters" in params:
+        # separate the scores: fresh norm(0.01) filters produce near-
+        # degenerate rankings whose order flips on f32 noise; the plain
+        # dot-product path ('none') is well-separated as initialized and
+        # scaling would saturate its sigmoid into exact ties instead
+        for key in ("user_embedding", "item_embedding"):
+            params[key] = params[key] * 4.0
+        params["filters"] = jax.tree_util.tree_map(lambda x: x * 5.0, params["filters"])
+    trainer.params = params
+    trainer.model_state = state
+    trainer.eval_collector.data_collect(train_data)
+    init_seed(config["seed"], config["reproducibility"])
+    result = trainer.evaluate(test_data, load_best_model=False, show_progress=False)
+    return {k: dict(v) for k, v in result.items()}, params
+
+
+def test_pfcn_full_sort_eval_works_beyond_reference(data_root, tmp_path):
+    """Full-sort PFCN eval CRASHES in the reference (its PFCNTrainer only
+    overrides _neg_sample_batch_eval with an sst_list parameter,
+    trainer.py:932; full-sort mode hits the base _full_sort_batch_eval at
+    :1063 with a TypeError) — the reference only ever runs PFCN in uni100.
+    Ours supports it; pin the per-subset structure and metric sanity."""
+    our_result, _ = _run_our_pfcn(data_root, str(tmp_path), "full")
+    assert set(our_result) == {
+        "cm-['gender']", "cm-['age']", "cm-['gender', 'age']"
+    }
+    for subset, metrics in our_result.items():
+        assert len(metrics) >= 12 and all(np.isfinite(v) for v in metrics.values())
+
+
+def test_pfcn_subset_keying_matches_reference(ref_recbole, data_root, tmp_path):
+    """Per-subset result keying parity (reference trainer.py:1080-1092).
+
+    Metric VALUES are deliberately NOT compared for filtered PFCN eval: the
+    reference stores its filter MLPs in a plain dict (pfcn_mlp.py:105-120),
+    so ``model.eval()`` never reaches them and their BatchNorm runs on BATCH
+    statistics forever. In the single-user-batch sampled regime each filter
+    input row is identical, BN normalizes everything to exactly zero, and
+    EVERY reference prediction is exactly sigmoid(0) = 0.5 — rankings become
+    index-order ties and the fairness metrics are computed over constant
+    scores (asserted below as documentation). Our filters are real submodule
+    state with eval-mode running stats — the behavior the reference's
+    ``model.eval()`` call intends."""
+    our_result, params = _run_our_pfcn(data_root, str(tmp_path), "uni100")
+    ref_result = _run_ref_pfcn(data_root, str(tmp_path), "uni100", params)
+
+    assert set(our_result) == set(ref_result), (
+        f"subset-key divergence: ours={sorted(our_result)} ref={sorted(ref_result)}"
+    )
+    # cm × 2 attrs → 3 non-empty subsets, reference key format verbatim
+    assert set(ref_result) == {
+        "cm-['gender']", "cm-['age']", "cm-['gender', 'age']"
+    }
+    for subset, metrics in our_result.items():
+        assert set(metrics) == set(ref_result[subset])
+        assert all(np.isfinite(v) for v in metrics.values()), subset
+    # the documented reference degeneracy: constant 0.5 scores ⇒ NonParity
+    # (|mean group score gap|) is exactly 0 for every subset/attribute
+    for subset in ref_result:
+        for m, v in ref_result[subset].items():
+            if m.startswith("NonParity"):
+                assert v == 0.0, (subset, m, v)
+
+
+@pytest.mark.parametrize("mode", ["uni100"])
+def test_pfcn_none_eval_values_match_reference(ref_recbole, data_root, tmp_path, mode):
+    """Full metric-VALUE parity through the PFCN trainer with
+    filter_mode='none' (plain sigmoid-dot scoring — no train-mode-BN quirk):
+    pins the sampled-mode fairness payload slicing (reference
+    collector.py:191-205). Full-sort mode is uni100-only here because the
+    reference's PFCN full_sort_predict crashes outright — its forward returns
+    a (user, item) tuple that full_sort_predict treats as a tensor
+    (pfcn_pmf.py:250-257 / pfcn_mlp.py:213-222); ours is covered by
+    test_pfcn_full_sort_eval_works_beyond_reference."""
+    global PFCN_EXTRA
+    saved = PFCN_EXTRA
+    PFCN_EXTRA = dict(PFCN_EXTRA, filter_mode="none", sst_attr_list=["gender", "age"])
+    try:
+        our_result, params = _run_our_pfcn(data_root, str(tmp_path), mode)
+        ref_result = _run_ref_pfcn(data_root, str(tmp_path), mode, params)
+    finally:
+        PFCN_EXTRA = saved
+    assert set(our_result) == set(ref_result) == {"none"}
+    ours, ref = our_result["none"], ref_result["none"]
+    assert set(ours) == set(ref)
+    for metric in sorted(ref):
+        assert ours[metric] == pytest.approx(ref[metric], rel=1e-3, abs=2e-4), (
+            f"{metric}: ours={ours[metric]} ref={ref[metric]}"
+        )
+
+
+FAIRGO_EXTRA = {
+    "load_col": {"inter": ["user_id", "item_id", "rating"],
+                 "user": ["user_id", "gender"]},
+    "n_layers": 2,
+    "aggr_method": "WAP",
+    "vs_weights": [0.3, 0.7],
+    "filter_hidden_size_list": [16],
+    "dis_hidden_size_list": [16, 8],
+    "fair_weight": 0.1,
+    "load_pretrain_weight": False,
+    "activation": "leakyrelu",
+    "pretrain_epochs": 2,
+    "epochs": 2,
+    # single-user eval batches: the reference collector's sampled-mode
+    # [pos, neg] slicing assumes them (collector.py:191-205)
+    "eval_batch_size": 101,
+    "train_epoch_interval": 1,
+    "metrics": METRICS_FAIR,
+    "topk": [5],
+    "valid_metric": "NDCG@5",
+    "save_sst_embed": False,
+}
+
+
+def test_fairgo_dual_eval_key_sets(ref_recbole, data_root, tmp_path):
+    """FairGo's evaluate reports BOTH stages' metrics with pretrain-/finetune-
+    prefixes (reference trainer.py:738-772). Training RNG differs across
+    frameworks, so the pinned contract is the result-key structure."""
+    cfg = _config_dict(data_root, FAIRGO_EXTRA)
+
+    def run_ref():
+        from recbole.quick_start import run_recbole
+
+        c = dict(cfg)
+        c["checkpoint_dir"] = str(tmp_path / "ref_saved")
+        return run_recbole(model="FairGo_PMF", dataset="lpd", config_dict=c)
+
+    def run_ours():
+        from recbole_fairrec_tpu.quick_start import run_recbole
+
+        c = dict(cfg)
+        c["checkpoint_dir"] = str(tmp_path / "our_saved")
+        return run_recbole(model="FairGo_PMF", dataset="lpd", config_dict=c)
+
+    ref_res = run_ref()
+    our_res = run_ours()
+    ref_keys = set(ref_res["test_result"])
+    our_keys = set(our_res["test_result"])
+    assert ref_keys == our_keys, (
+        f"ours-only={our_keys - ref_keys} ref-only={ref_keys - our_keys}"
+    )
+    assert any(k.startswith("pretrain-") for k in ref_keys)
+    assert any(k.startswith("finetune-") for k in ref_keys)
+    for k in our_keys:
+        assert np.isfinite(our_res["test_result"][k])

@@ -32,6 +32,12 @@ import ref_compat
 
 N_USERS, N_ITEMS, EMB, BATCH = 32, 40, 16, 64
 
+METRICS_FAIR = [
+    "NDCG", "Recall", "Hit", "MRR", "DifferentialFairness", "GiniIndex",
+    "PopularityPercentage", "ValueUnfairness", "AbsoluteUnfairness",
+    "UnderUnfairness", "OverUnfairness", "NonParityUnfairness",
+]
+
 
 def _write_dataset(root, name="lpd", seed=5):
     ddir = os.path.join(root, name)
