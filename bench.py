@@ -84,6 +84,9 @@ def _build():
             "embedding_size": EMB,
             "train_batch_size": 2048,
             "neg_sampling": {"uniform": 1},
+            # draw negatives inside the jitted step: removes the dominant
+            # host-pipeline cost (~0.4 s/epoch of rejection sampling)
+            "device_neg_sampling": True,
             "metrics": ["NDCG", "Recall", "Hit", "MRR"],
             "topk": [10],
             "valid_metric": "NDCG@10",

@@ -889,6 +889,58 @@ class Dataset:
             return mat.tocsr()
         raise NotImplementedError(f"sparse matrix format [{form}] has not been implemented.")
 
+    def create_graph(self, source_field, target_field, form="edge_list",
+                     value_field=None, feat=None):
+        """Relation graph between two token fields (reference
+        dataset.py:1586-1631, which exports dgl/pyg objects).
+
+        TPU-native forms — graphs here are consumed by jitted segment-sum /
+        SpMM propagation (ops/spmm.py, models/gcn.py), so the canonical
+        export is plain index arrays, not a GPU graph library object:
+
+        * ``edge_list`` → (src, tgt, values|None) numpy arrays;
+        * ``jax``       → the same as jnp arrays;
+        * ``coo``       → scipy COO over the two fields' id spaces.
+
+        ``dgl``/``pyg`` raise NotImplementedError: neither library targets
+        TPU; use ``edge_list`` and build the foreign object in user code.
+        """
+        feat = self.inter_feat if feat is None else feat
+        src = np.asarray(feat[source_field])
+        tgt = np.asarray(feat[target_field])
+        vals = None
+        if value_field is not None:
+            if value_field not in feat:
+                raise ValueError(f"value_field [{value_field}] not in features")
+            vals = np.asarray(feat[value_field], dtype=np.float32)
+        if form == "edge_list":
+            return src, tgt, vals
+        if form == "jax":
+            import jax.numpy as jnp
+
+            return (
+                jnp.asarray(src),
+                jnp.asarray(tgt),
+                None if vals is None else jnp.asarray(vals),
+            )
+        if form == "coo":
+            data = np.ones(len(src), dtype=np.float32) if vals is None else vals
+            return sp.coo_matrix(
+                (data, (src, tgt)),
+                shape=(int(src.max(initial=0)) + 1, int(tgt.max(initial=0)) + 1),
+            )
+        if form in ("dgl", "pyg"):
+            raise NotImplementedError(
+                f"graph form [{form}] is not supported on the TPU build; "
+                "use form='edge_list' and construct the library object "
+                "from the index arrays"
+            )
+        raise NotImplementedError(f"graph form [{form}] has not been implemented.")
+
+    def inter_graph(self, form="edge_list", value_field=None):
+        """User→item interaction graph (reference net()/inter_matrix analogue)."""
+        return self.create_graph(self.uid_field, self.iid_field, form, value_field)
+
     def history_item_matrix(self, value_field=None):
         """Per-user padded history arrays (history, value, length)."""
         return self._history_matrix("item", value_field)

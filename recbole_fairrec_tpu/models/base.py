@@ -117,6 +117,13 @@ class FairRecommender(AbstractRecommender):
         self.compute_dtype = (
             jnp.bfloat16 if (config["compute_dtype"] == "bfloat16") else jnp.float32
         )
+        # float32 means float32: the TPU MXU's DEFAULT matmul precision drops
+        # f32 inputs to one bf16 pass (~1e-2 rel error — enough to reorder
+        # full-sort rankings vs the torch reference). compute_dtype='bfloat16'
+        # opts into the fast path explicitly; otherwise request exact f32.
+        self.matmul_precision = (
+            None if self.compute_dtype == jnp.bfloat16 else "highest"
+        )
 
     def calculate_dis_loss(self, params, state, batch, rng=None, sst_list=None):
         """Discriminator objective for adversarial models."""

@@ -266,7 +266,7 @@ class FairGoBase(FairRecommender):
         cd = self.compute_dtype
         scores = jnp.dot(
             user_all[batch[self.USER_ID]].astype(cd), item_all.T.astype(cd),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=self.matmul_precision,
         )
         return jnp.clip(scores.reshape(-1), 0.0, self.max_rating) / self.max_rating
 

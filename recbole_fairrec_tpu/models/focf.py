@@ -125,6 +125,6 @@ class FOCF(FairRecommender):
         user_e = params["user_embedding"][batch[self.USER_ID]].astype(cd)
         scores = jnp.dot(
             user_e, params["item_embedding"].T.astype(cd),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=self.matmul_precision,
         )
         return jnp.clip(scores, 0.0, self.max_rating).reshape(-1) / self.max_rating

@@ -92,7 +92,8 @@ class PFCN_BiasedMF(PFCNBase):
         cd = self.compute_dtype
         scores = (
             jnp.dot(user_e.astype(cd), params["item_embedding"].T.astype(cd),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=self.matmul_precision)
             + params["user_bias"][user]
             + params["item_bias"][:, 0][None, :]
             + params["global_bias"]

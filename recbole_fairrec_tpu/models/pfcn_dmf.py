@@ -112,4 +112,6 @@ class PFCN_DMF(PFCNBase):
         inorm = all_item_e / jnp.maximum(
             jnp.linalg.norm(all_item_e, axis=-1, keepdims=True), 1e-8
         )
-        return jax.nn.sigmoid(un @ inorm.T).reshape(-1)
+        return jax.nn.sigmoid(
+            jnp.dot(un, inorm.T, precision=self.matmul_precision)
+        ).reshape(-1)

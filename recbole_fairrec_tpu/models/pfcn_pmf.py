@@ -68,6 +68,6 @@ class PFCN_PMF(PFCNBase):
         cd = self.compute_dtype
         scores = jnp.dot(
             user_e.astype(cd), params["item_embedding"].T.astype(cd),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=self.matmul_precision,
         )
         return jax.nn.sigmoid(scores).reshape(-1)

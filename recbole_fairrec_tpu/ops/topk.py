@@ -47,7 +47,8 @@ def streaming_topk_scores(user_emb, item_table, top_k, tile=4096):
         tile_idx, tile_items = inputs
         best_s, best_i = carry
         scores = jnp.dot(
-            user_emb, tile_items.T, preferred_element_type=jnp.float32
+            user_emb, tile_items.T, preferred_element_type=jnp.float32,
+            precision="highest",  # exact f32 — rankings must not flip on bf16
         )
         col0 = tile_idx * tile
         local_idx = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)

@@ -43,7 +43,8 @@ def distributed_topk_scores(mesh, user_emb, item_table, top_k, axis="model",
     local_k = min(top_k, rows_per_shard)
 
     def body(shard_idx, u, items, mask):
-        scores = jnp.dot(u, items.T, preferred_element_type=jnp.float32)
+        scores = jnp.dot(u, items.T, preferred_element_type=jnp.float32,
+                         precision="highest")
         if mask is not None:
             scores = jnp.where(mask, -jnp.inf, scores)
         col0 = shard_idx * rows_per_shard

@@ -345,6 +345,23 @@ class Trainer(AbstractTrainer):
 
     # ------------------------------------------------------------ training
 
+    def _maybe_enable_device_sampling(self, train_data):
+        """Precompute the sorted (uid, iid) key table for in-step negative
+        sampling when the loader runs in device_neg_sampling mode."""
+        if not getattr(train_data, "device_neg_sampling", False):
+            return
+        if getattr(self, "_device_used_keys", None) is not None:
+            return
+        from ..ops.neg_sampling import build_used_keys
+
+        ds = train_data.dataset
+        self._device_used_keys = build_used_keys(
+            np.asarray(ds.inter_feat[ds.uid_field]),
+            np.asarray(ds.inter_feat[ds.iid_field]),
+            ds.item_num,
+        )
+        self.logger.info("on-device negative sampling enabled")
+
     def _run_epoch(self, train_data, loss_name="calculate_loss", sst_list=None, tx_tag="main"):
         """One pass over the loader with the given static (loss, subset,
         optimizer) selection — each distinct triple is its own compiled
@@ -356,6 +373,7 @@ class Trainer(AbstractTrainer):
         executable unchanged.
         """
         total_loss = None
+        self._maybe_enable_device_sampling(train_data)
         canonical = getattr(train_data, "max_batch_rows", None) or train_data.batch_size
         canonical = _bucket(canonical)
         macro = int(self.config["train_macro_steps"] or 1)
@@ -540,16 +558,7 @@ class Trainer(AbstractTrainer):
         self.eval_collector.data_collect(train_data)
         if self.config["train_neg_sample_args"].get("dynamic", "none") != "none":
             train_data.get_model(self)
-        if getattr(train_data, "device_neg_sampling", False):
-            from ..ops.neg_sampling import build_used_keys
-
-            ds = train_data.dataset
-            self._device_used_keys = build_used_keys(
-                np.asarray(ds.inter_feat[ds.uid_field]),
-                np.asarray(ds.inter_feat[ds.iid_field]),
-                ds.item_num,
-            )
-            self.logger.info("on-device negative sampling enabled")
+        self._maybe_enable_device_sampling(train_data)
         valid_step = 0
 
         profile_dir = self.config["profile_dir"]

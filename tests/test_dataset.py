@@ -159,3 +159,34 @@ def test_benchmark_filename_splits(tmp_path):
     assert ds.file_size_list == [5, 2, 1]
     train, valid, test = ds.build()
     assert (len(train), len(valid), len(test)) == (5, 2, 1)
+
+
+def test_graph_exports(tiny_data_path):
+    """create_graph/inter_graph: the TPU-native analogue of the reference's
+    dgl/pyg exports (reference dataset.py:1586-1631)."""
+    import numpy as np
+    import pytest
+    import scipy.sparse as sp
+
+    from recbole_fairrec_tpu.config import Config
+    from recbole_fairrec_tpu.data import create_dataset
+
+    config = Config(model="FOCF", dataset="tiny", config_dict={
+        "data_path": str(tiny_data_path),
+        "load_col": {"inter": ["user_id", "item_id", "rating"],
+                     "user": ["user_id", "gender"]},
+        "use_gpu": False, "state": "ERROR",
+    })
+    ds = create_dataset(config)
+    src, tgt, vals = ds.inter_graph(value_field="rating")
+    assert len(src) == len(tgt) == len(vals) == len(ds.inter_feat["user_id"])
+    assert vals.dtype == np.float32
+
+    jsrc, jtgt, jvals = ds.inter_graph(form="jax", value_field="rating")
+    np.testing.assert_array_equal(np.asarray(jsrc), src)
+
+    coo = ds.inter_graph(form="coo")
+    assert sp.issparse(coo) and coo.nnz <= len(src)
+
+    with pytest.raises(NotImplementedError, match="edge_list"):
+        ds.inter_graph(form="dgl")
