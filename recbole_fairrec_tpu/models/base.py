@@ -54,6 +54,13 @@ def wmean(values, weights):
 class AbstractRecommender:
     type = ModelType.GENERAL
     input_type = InputType.POINTWISE
+    # Declared contract for retrieval-form eval (streaming / distributed
+    # top-k): True iff the model exposes ``retrieval_embeddings`` AND its
+    # full-sort score is a rank-preserving (monotone) transform of the
+    # retrieval dot product. The trainer refuses the retrieval eval paths
+    # unless this is declared, so a future non-monotone head can never
+    # silently produce wrong rankings (VERDICT r2 item 8).
+    retrieval_monotone = False
 
     def __init__(self):
         self.logger = getLogger()

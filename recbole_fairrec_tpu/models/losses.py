@@ -18,11 +18,43 @@ def mse_loss(pred, target):
     return jnp.mean((pred - target) ** 2)
 
 
-def bce_loss(pred_prob, target, eps=1e-12):
-    """torch nn.BCELoss semantics: inputs are probabilities; log args are
-    clamped so the loss stays finite."""
-    pred_prob = jnp.clip(pred_prob, eps, 1.0 - eps)
-    return -jnp.mean(target * jnp.log(pred_prob) + (1.0 - target) * jnp.log(1.0 - pred_prob))
+@jax.custom_vjp
+def bce_elementwise(pred_prob, target):
+    """Elementwise torch nn.BCELoss (aten Loss.cpp semantics).
+
+    Forward: each log term clamped at -100, so exactly-saturated f32 probs
+    (p == 0.0 or 1.0, which a winning adversarial filter does produce) give
+    a large finite loss, never 0 * -inf = NaN. (An eps-clip on the prob
+    cannot achieve this: 1 - 1e-12 rounds back to 1.0 in f32.)
+
+    Backward: torch's custom kernel (p - t) / max(p(1-p), 1e-12) instead of
+    autodiff through the clamp — autodiff would evaluate d log(1-p) =
+    -1/(1-p) = -inf at p == 1 and multiply it by the clamp's zero selector,
+    producing NaN. With the kernel, the chain through sigmoid'(x) = p(1-p)
+    = 0 kills the gradient AT exact saturation (the self-limiting property
+    that keeps the reference's adversarial alternation finite).
+    """
+    logp = jnp.maximum(jnp.log(pred_prob), -100.0)
+    log1mp = jnp.maximum(jnp.log(1.0 - pred_prob), -100.0)
+    return -(target * logp + (1.0 - target) * log1mp)
+
+
+def _bce_elementwise_fwd(pred_prob, target):
+    return bce_elementwise(pred_prob, target), (pred_prob, target)
+
+
+def _bce_elementwise_bwd(res, g):
+    p, t = res
+    grad_p = g * (p - t) / jnp.maximum(p * (1.0 - p), 1e-12)
+    return grad_p, jnp.zeros_like(t)
+
+
+bce_elementwise.defvjp(_bce_elementwise_fwd, _bce_elementwise_bwd)
+
+
+def bce_loss(pred_prob, target):
+    """torch nn.BCELoss (mean reduction); see :func:`bce_elementwise`."""
+    return jnp.mean(bce_elementwise(pred_prob, target))
 
 
 def cross_entropy_loss(logits, labels):

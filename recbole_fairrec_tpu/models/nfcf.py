@@ -27,6 +27,7 @@ import numpy as np
 from ..utils import InputType
 from .base import FairRecommender, batch_weights, wmean
 from .layers import apply_mlp, init_embedding, init_mlp
+from .losses import bce_elementwise
 
 
 class NFCF(FairRecommender):
@@ -135,11 +136,9 @@ class NFCF(FairRecommender):
         label = batch[self.LABEL]
         output = self.forward(params, user, item, train=True, rng=rng)
         w = batch_weights(batch, output)
-        rec_loss = wmean(
-            -(label * jnp.log(jnp.clip(output, 1e-12, 1.0))
-              + (1 - label) * jnp.log(jnp.clip(1 - output, 1e-12, 1.0))),
-            w,
-        )
+        # torch BCELoss value+gradient semantics (saturation-safe); see
+        # losses.bce_elementwise
+        rec_loss = wmean(bce_elementwise(output, label), w)
         if self.load_pretrain_path is None:
             return rec_loss, state
         fair_loss = self._differential_fairness(batch, output, w)

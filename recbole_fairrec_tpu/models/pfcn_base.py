@@ -28,13 +28,13 @@ import numpy as np
 from ..utils import InputType
 from .base import FairRecommender, batch_weights, wmean
 from .layers import apply_mlp, init_embedding, init_mlp, init_mlp_state
-from .losses import bpr_loss
+from .losses import bce_elementwise, bpr_loss
 
 
 def _weighted_bce(probs, targets, w):
-    eps = 1e-12
-    probs = jnp.clip(probs, eps, 1.0 - eps)
-    elem = -(targets * jnp.log(probs) + (1 - targets) * jnp.log(1 - probs))
+    # torch nn.BCELoss value AND gradient semantics (saturation-safe both
+    # ways) — see losses.bce_elementwise
+    elem = bce_elementwise(probs, targets)
     return wmean(elem.reshape(elem.shape[0], -1).mean(axis=-1), w)
 
 

@@ -15,6 +15,7 @@ from .pfcn_base import PFCNBase
 
 
 class PFCN_BiasedMF(PFCNBase):
+    retrieval_monotone = True  # sigmoid/cosine heads preserve dot-product rank
     def init_params(self, rng):
         r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
         params = {

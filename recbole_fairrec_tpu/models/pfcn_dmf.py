@@ -23,6 +23,7 @@ def _cosine(a, b, eps=1e-8):
 
 
 class PFCN_DMF(PFCNBase):
+    retrieval_monotone = True  # sigmoid/cosine heads preserve dot-product rank
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
         self.num_layers = config["num_layers"]

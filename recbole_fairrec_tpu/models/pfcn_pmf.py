@@ -15,6 +15,7 @@ from .pfcn_base import PFCNBase
 
 
 class PFCN_PMF(PFCNBase):
+    retrieval_monotone = True  # sigmoid/cosine heads preserve dot-product rank
     def init_params(self, rng):
         r1, r2, r3 = jax.random.split(rng, 3)
         params = {

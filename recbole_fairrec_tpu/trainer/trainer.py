@@ -327,21 +327,28 @@ class Trainer(AbstractTrainer):
             w = np.zeros(target, dtype=np.float32)
             w[:n] = 1.0
             batch["__weight__"] = w
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            data_size = self.mesh.shape["data"]
-            out = {}
-            for k, v in batch.items():
-                # shard rows over 'data' when they divide evenly, else replicate
-                spec = (
-                    P("data", *([None] * (v.ndim - 1)))
-                    if v.shape[0] % data_size == 0
-                    else P()
-                )
-                out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
-            return out
         return batch
+
+    def _put_batch(self, batch, stacked=False):
+        """Host batch dict → device. Under a mesh, rows are sharded over the
+        'data' axis (axis 1 of a [macro, rows, ...] scan stack, axis 0 of a
+        single batch) when they divide evenly, else replicated."""
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_size = self.mesh.shape["data"]
+        row_axis = 1 if stacked else 0
+        out = {}
+        for k, v in batch.items():
+            if v.shape[row_axis] % data_size == 0:
+                spec = [None] * v.ndim
+                spec[row_axis] = "data"
+                spec = P(*spec)
+            else:
+                spec = P()
+            out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
+        return out
 
     # ------------------------------------------------------------ training
 
@@ -367,25 +374,27 @@ class Trainer(AbstractTrainer):
         optimizer) selection — each distinct triple is its own compiled
         executable.
 
-        Consecutive same-shape batches are fused ``train_macro_steps`` at a
-        time into one lax.scan dispatch (identical update sequence, far fewer
-        host↔device round trips). Odd-shaped tails go through the single-step
+        Consecutive same-shape batches are fused into one lax.scan dispatch
+        (identical update sequence, far fewer host↔device round trips).
+        ``train_macro_steps: auto`` (default) stages the WHOLE epoch as a
+        single dispatch, bounded by the ``train_macro_rows`` row budget; the
+        pass is split into near-equal chunks so at most two distinct scan
+        lengths ever compile. Odd-shaped tails go through the single-step
         executable unchanged.
         """
         total_loss = None
         self._maybe_enable_device_sampling(train_data)
         canonical = getattr(train_data, "max_batch_rows", None) or train_data.batch_size
         canonical = _bucket(canonical)
-        macro = int(self.config["train_macro_steps"] or 1)
-        if self.mesh is not None:
-            macro = 1  # mesh path shards per-batch rows; keep 1 dispatch/step
+        macro = self._macro_steps(len(train_data), canonical)
 
         def run_single(batch):
             nonlocal total_loss
             self.rng, step_rng = jax.random.split(self.rng)
             update = self._get_update_fn(loss_name, sst_list, tx_tag)
             loss, self.params, self.model_state, new_opt = update(
-                self.params, self.model_state, self._opt_state_by_tag(tx_tag), step_rng, batch
+                self.params, self.model_state, self._opt_state_by_tag(tx_tag),
+                step_rng, self._put_batch(batch),
             )
             self._set_opt_state_by_tag(tx_tag, new_opt)
             # accumulate on device — a float() here would force a round-trip
@@ -396,7 +405,9 @@ class Trainer(AbstractTrainer):
             nonlocal total_loss
             if len(chunk) == 1:
                 return run_single(chunk[0])
-            stacked = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
+            stacked = self._put_batch(
+                {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}, stacked=True
+            )
             # derive step keys by the SAME sequential splits as the per-step
             # path, so macro batching is bit-identical to running the single
             # update len(chunk) times
@@ -438,6 +449,23 @@ class Trainer(AbstractTrainer):
         total = float(total_loss)  # single sync per epoch
         self._check_nan(total)
         return total
+
+    def _macro_steps(self, n_batches, rows_per_batch):
+        """Batches fused per lax.scan dispatch. 'auto' (default) stages the
+        whole pass as one dispatch, bounded by the ``train_macro_rows``
+        host→device staging budget; the pass is then split into near-equal
+        chunks so at most two distinct scan lengths compile (cold compiles
+        cost minutes over the TPU tunnel — ADVICE r2)."""
+        if n_batches <= 0:
+            return 1
+        cfg = self.config["train_macro_steps"]
+        if cfg in (None, "auto"):
+            budget_rows = int(self.config["train_macro_rows"] or 4_194_304)
+            macro_max = max(1, budget_rows // max(rows_per_batch, 1))
+        else:
+            macro_max = max(1, int(cfg))
+        n_chunks = -(-n_batches // macro_max)
+        return -(-n_batches // n_chunks)
 
     def _train_epoch(self, train_data, epoch_idx, loss_func=None, show_progress=False):
         return self._run_epoch(train_data, loss_name=loss_func or "calculate_loss")
@@ -1023,24 +1051,35 @@ class Trainer(AbstractTrainer):
                 max_hist = len(h)
         return max_k + max_hist + 1
 
-    def _streaming_eval_ok(self):
+    def _retrieval_eval_capable(self):
+        """Retrieval-form eval requires the model to both expose
+        ``retrieval_embeddings`` and DECLARE rank-preservation
+        (``retrieval_monotone``) — an undeclared head can never silently
+        take a path that ranks raw dot products."""
         return (
-            self.config["streaming_eval"]
+            getattr(self.model, "retrieval_monotone", False)
             and hasattr(self.model, "retrieval_embeddings")
             and self._fused_eval_ok()
         )
 
+    def _streaming_eval_ok(self):
+        return self.config["streaming_eval"] and self._retrieval_eval_capable()
+
     def _distributed_eval_ok(self):
         """Mesh-mode full-sort eval scores item shards in place and merges
         k·n_shards candidates over ICI (parallel/eval.py) instead of running
-        the replicated scorer — on whenever a model axis exists, unless
-        config['distributed_eval'] is explicitly False."""
+        the replicated scorer. Retrieval-form ranking breaks head-score ties
+        differently from the dense path (ADVICE r2), so it needs the same
+        exactness opt-in as streaming eval: on under a model axis when
+        config['distributed_eval'] is True, or by default only when
+        streaming_eval is already opted into."""
+        cfg = self.config["distributed_eval"]
+        opted_in = cfg is True or (cfg is None and self.config["streaming_eval"])
         return (
             self.mesh is not None
             and self.mesh.shape.get("model", 1) > 1
-            and self.config["distributed_eval"] is not False
-            and hasattr(self.model, "retrieval_embeddings")
-            and self._fused_eval_ok()
+            and opted_in
+            and self._retrieval_eval_capable()
         )
 
     def _collect_batch(self, kind, batched_data, sst_list=None):

@@ -388,3 +388,49 @@ def test_fairgo_pmf_loss_parity(ref_recbole, data_root, tmp_path_factory, stage,
         ref_dis = float(ref_model.calculate_dis_loss(interaction, ["gender"]))
         our_dis, _ = our_model.calculate_dis_loss(params, state, jbatch, None, ("gender",))
         assert float(our_dis) == pytest.approx(ref_dis, rel=REL, abs=1e-5), "dis loss"
+
+
+def test_bce_saturation_parity(ref_recbole):
+    """Saturated probabilities (exactly 0.0 / 1.0 in f32) must reproduce
+    torch nn.BCELoss's -100 log clamp, not 0 * -inf = NaN.
+
+    This is the regime an adversarially-winning PFCN/FairGo filter drives
+    the discriminator into (cm runs reached it by epoch ~40 on ml-100k-fair);
+    reference survives via torch's clamp (aten BCELoss log clamping), so the
+    JAX build must too.
+    """
+    import jax.numpy as jnp
+    import torch
+
+    from recbole_fairrec_tpu.models.losses import bce_loss
+    from recbole_fairrec_tpu.models.pfcn_base import _weighted_bce
+
+    probs = np.array([0.0, 1.0, 0.5, 1.0, 0.0], dtype=np.float32)
+    targets = np.array([1.0, 0.0, 1.0, 1.0, 0.0], dtype=np.float32)
+    ref = float(torch.nn.BCELoss()(torch.tensor(probs), torch.tensor(targets)))
+
+    ours = float(bce_loss(jnp.asarray(probs), jnp.asarray(targets)))
+    assert np.isfinite(ours) and ours == pytest.approx(ref, rel=1e-6)
+
+    w = np.ones_like(probs)
+    ours_w = float(
+        _weighted_bce(jnp.asarray(probs)[:, None], jnp.asarray(targets)[:, None],
+                      jnp.asarray(w))
+    )
+    assert np.isfinite(ours_w) and ours_w == pytest.approx(ref, rel=1e-6)
+
+    # GRADIENT parity through sigmoid: torch's custom BCE backward
+    # (p-t)/max(p(1-p),1e-12) chained with sigmoid' zeroes the gradient at
+    # exact saturation (the self-limiting property of the adversarial game);
+    # naive autodiff through the -100 clamp would emit 0 * inf = NaN here.
+    logits = np.array([-30.0, 30.0, 0.3, 30.0, -30.0], dtype=np.float32)
+    tl = torch.tensor(logits, requires_grad=True)
+    torch.nn.BCELoss()(torch.sigmoid(tl), torch.tensor(targets)).backward()
+    import jax
+
+    ours_g = jax.grad(
+        lambda x: bce_loss(jax.nn.sigmoid(x), jnp.asarray(targets))
+    )(jnp.asarray(logits))
+    np.testing.assert_allclose(np.asarray(ours_g), tl.grad.numpy(), rtol=1e-5,
+                               atol=1e-8)
+    assert np.isfinite(np.asarray(ours_g)).all()

@@ -258,7 +258,8 @@ def test_mesh_evaluate_uses_distributed_topk(tiny_data_path, tmp_path):
     assert base_tr._last_eval_path == "fused"
 
     mesh_tr, mesh_eval = _build_pfcn_none(
-        tiny_data_path, tmp_path / "b", {"mesh_shape": [2, 4]}
+        tiny_data_path, tmp_path / "b",
+        {"mesh_shape": [2, 4], "distributed_eval": True},
     )
     dist = dict(mesh_tr.evaluate(mesh_eval, load_best_model=False))
     assert mesh_tr._last_eval_path == "distributed"
