@@ -4,7 +4,6 @@ from .dataloader import (
     AbstractDataLoader,
     FOCFDataLoader,
     FullSortEvalDataLoader,
-    NegSampleDataLoader,
     NegSampleEvalDataLoader,
     TrainDataLoader,
     UserDataLoader,
@@ -18,7 +17,6 @@ __all__ = [
     "AbstractDataLoader",
     "FOCFDataLoader",
     "FullSortEvalDataLoader",
-    "NegSampleDataLoader",
     "NegSampleEvalDataLoader",
     "TrainDataLoader",
     "UserDataLoader",

@@ -1,19 +1,27 @@
-"""DataLoader family.
+"""Batch producers for training and evaluation.
 
-Parity: recbole/data/dataloader/{abstract,general,user,focf}_dataloader.py.
-The iterator protocol (``pr`` pointer + ``step``), batch-size derivation, and
-batch payloads match the reference:
+Behavioral parity targets (payloads, batch-size rules, RNG call order):
+recbole/data/dataloader/{abstract,general,user,focf}_dataloader.py. The
+design here is the TPU build's own: loaders are thin cursors over
+**precomputed flat segment structures** (`_UserSegments`, CSR-style
+positive/history arrays) so per-batch work is array slicing — no per-user
+python set/dict walks — and every loader advertises ``max_batch_rows`` so
+the trainer can pad each batch to ONE static device shape.
 
-* ``TrainDataLoader`` — batch = train_batch_size // times rows before
-  negative expansion (general_dataloader.py:40-49);
-* ``NegSampleEvalDataLoader`` — all rows of one user share a batch, positives
-  before negatives; yields (Interaction, row_idx, positive_u, positive_i)
-  (:68-158);
+Payload contracts kept bit-compatible with the reference:
+
+* ``TrainDataLoader`` — raw-row batches of ``train_batch_size // times``
+  rows, expanded by the negative-sampling strategy (pairwise ``neg_*``
+  columns / pointwise pos+neg stacking with 1/0 labels);
+* ``NegSampleEvalDataLoader`` — whole-user batches (a user's rows never
+  straddle a batch); yields (Interaction, row_idx, positive_u, positive_i);
+  negatives drawn through one sampler call PER USER, in user order, so the
+  numpy RNG stream matches the reference run for run;
 * ``FullSortEvalDataLoader`` — yields (user_df, (history_u, history_i),
-  positive_u, positive_i) with history = used − positive (:161-253);
-* ``FOCFDataLoader`` — item-grouped batches: union of all interactions of
-  randomly chosen items until ≥ step rows (focf_dataloader.py:37-51);
-* ``UserDataLoader`` — iterates all user ids (user_dataloader.py).
+  positive_u, positive_i) with history = used − positive;
+* ``FOCFDataLoader`` — item-grouped batches (all interactions of randomly
+  drawn items until the row budget fills);
+* ``UserDataLoader`` — shuffled batches of every user id.
 
 Columns are numpy; device transfer happens in the trainer's jitted step.
 """
@@ -30,7 +38,135 @@ from ..utils import FeatureSource, FeatureType, InputType, ModelType
 from .interaction import Interaction, cat_interactions
 
 
+# --------------------------------------------------------------------------
+# flat per-user segment structures
+# --------------------------------------------------------------------------
+
+
+class _UserSegments:
+    """Row segments of a uid-sorted interaction table, as flat arrays.
+
+    ``uid[j]`` owns rows ``lo[j]:hi[j]`` of the sorted table. Replaces the
+    reference's per-user dict/slice bookkeeping with vectorized boundary
+    math; every per-batch quantity below is a contiguous slice.
+    """
+
+    __slots__ = ("uid", "lo", "hi")
+
+    def __init__(self, uid, lo, hi):
+        self.uid, self.lo, self.hi = uid, lo, hi
+
+    @classmethod
+    def from_sorted(cls, uids):
+        if len(uids) == 0:
+            z = np.array([], dtype=np.int64)
+            return cls(z, z.copy(), z.copy())
+        bounds = np.nonzero(np.diff(uids, prepend=uids[0] - 1))[0]
+        return cls(
+            uids[bounds].astype(np.int64),
+            bounds.astype(np.int64),
+            np.append(bounds[1:], len(uids)).astype(np.int64),
+        )
+
+    def __len__(self):
+        return len(self.uid)
+
+    @property
+    def rows(self):
+        """Row count per segment."""
+        return self.hi - self.lo
+
+
+def _greedy_user_budget(rows_per_user, budget):
+    """How many whole users fit a row budget, sized against the worst case.
+
+    Reference rule (general_dataloader.py:102-117): sort per-user costs
+    descending, take users while the running sum stays within ``budget``
+    (always at least one). Vectorized: one sort + cumsum + searchsorted.
+
+    Returns (users_per_batch, worst_case_rows).
+    """
+    desc = np.sort(np.asarray(rows_per_user))[::-1]
+    cum = np.cumsum(desc)
+    n = max(int(np.searchsorted(cum, budget, side="right")), 1)
+    return n, int(cum[n - 1])
+
+
+# --------------------------------------------------------------------------
+# negative-sampling strategy (expansion layout of a raw-row block)
+# --------------------------------------------------------------------------
+
+
+class _NegSpec:
+    """Resolved negative-sampling strategy for one loader.
+
+    Owns the expansion factor (``times``) and the block-expansion layout;
+    the loader stays a pure cursor. Layout parity:
+    abstract_dataloader.py:175-198 (pairwise neg_* columns / pointwise
+    whole-block tiling with the item column rewritten and 1/0 labels).
+    """
+
+    def __init__(self, config, dataset, dl_format, neg_sample_args):
+        self.dl_format = dl_format
+        self.args = neg_sample_args
+        self.strategy = neg_sample_args.get("strategy", "none")
+        self.times = 1
+        if self.strategy == "by":
+            self.sample_num = neg_sample_args["by"]
+            if dl_format == InputType.POINTWISE:
+                self.times = 1 + self.sample_num
+                self.label_field = config["LABEL_FIELD"]
+                dataset.set_field_property(
+                    self.label_field, FeatureType.FLOAT, FeatureSource.INTERACTION, 1
+                )
+            elif dl_format == InputType.PAIRWISE:
+                self.times = self.sample_num
+                self.neg_prefix = config["NEG_PREFIX"]
+                item_cols = (
+                    [dataset.iid_field]
+                    if dataset.item_feat is None
+                    else list(dataset.item_feat.columns)
+                )
+                for col in item_cols:
+                    dataset.copy_field_property(self.neg_prefix + col, col)
+            else:
+                raise ValueError(
+                    f"`neg sampling by` with dl_format [{dl_format}] not been implemented."
+                )
+        elif self.strategy != "none":
+            raise ValueError(f"`neg_sample_args` [{self.strategy}] is not supported!")
+
+    def expand(self, dataset, block, neg_item_ids):
+        if self.dl_format == InputType.PAIRWISE:
+            return self._pairwise(dataset, block, neg_item_ids)
+        return self._pointwise(dataset, block, neg_item_ids)
+
+    def _pairwise(self, dataset, block, neg_item_ids):
+        out = block.repeat(self.times)
+        neg_feat = dataset.join(Interaction({dataset.iid_field: neg_item_ids}))
+        neg_feat.add_prefix(self.neg_prefix)
+        out.update(neg_feat)
+        return out
+
+    def _pointwise(self, dataset, block, neg_item_ids):
+        n_pos = len(block)
+        out = block.repeat(self.times)
+        out[dataset.iid_field][n_pos:] = neg_item_ids
+        out = dataset.join(out)
+        labels = np.zeros(n_pos * self.times, dtype=np.float32)
+        labels[:n_pos] = 1.0
+        out.update(Interaction({self.label_field: labels}))
+        return out
+
+
+# --------------------------------------------------------------------------
+# cursor base
+# --------------------------------------------------------------------------
+
+
 class AbstractDataLoader:
+    """pr/step cursor protocol (reference abstract_dataloader.py:25-107)."""
+
     def __init__(self, config, dataset, sampler, shuffle=False):
         self.config = config
         self.logger = getLogger()
@@ -89,127 +225,98 @@ class AbstractDataLoader:
         return self.batch_size
 
 
-class NegSampleDataLoader(AbstractDataLoader):
-    def __init__(self, config, dataset, sampler, shuffle=True):
-        super().__init__(config, dataset, sampler, shuffle=shuffle)
+class _NegSamplingLoader(AbstractDataLoader):
+    """Shared negative-sampling plumbing for train/sampled-eval cursors."""
 
-    def _set_neg_sample_args(self, config, dataset, dl_format, neg_sample_args):
+    def _bind_neg_spec(self, config, dataset, dl_format, neg_sample_args):
         self.uid_field = dataset.uid_field
         self.iid_field = dataset.iid_field
-        self.dl_format = dl_format
-        self.neg_sample_args = neg_sample_args
-        self.times = 1
+        self.neg_spec = _NegSpec(config, dataset, dl_format, neg_sample_args)
         # on-device sampling supported for the pairwise 1-negative shape
         self.device_neg_sampling = bool(
             config["device_neg_sampling"]
             and dl_format == InputType.PAIRWISE
-            and neg_sample_args.get("strategy") == "by"
+            and self.neg_spec.strategy == "by"
             and neg_sample_args.get("by") == 1
             and neg_sample_args.get("dynamic", "none") in (None, "none")
         )
-        if self.neg_sample_args["strategy"] == "by":
-            self.neg_sample_num = self.neg_sample_args["by"]
-            if self.dl_format == InputType.POINTWISE:
-                self.times = 1 + self.neg_sample_num
-                self.sampling_func = self._neg_sample_by_point_wise_sampling
-                self.label_field = config["LABEL_FIELD"]
-                dataset.set_field_property(
-                    self.label_field, FeatureType.FLOAT, FeatureSource.INTERACTION, 1
-                )
-            elif self.dl_format == InputType.PAIRWISE:
-                self.times = self.neg_sample_num
-                self.sampling_func = self._neg_sample_by_pair_wise_sampling
-                self.neg_prefix = config["NEG_PREFIX"]
-                self.neg_item_id = self.neg_prefix + self.iid_field
-                columns = (
-                    [self.iid_field]
-                    if dataset.item_feat is None
-                    else list(dataset.item_feat.columns)
-                )
-                for col in columns:
-                    dataset.copy_field_property(self.neg_prefix + col, col)
-            else:
-                raise ValueError(
-                    f"`neg sampling by` with dl_format [{self.dl_format}] not been implemented."
-                )
-        elif self.neg_sample_args["strategy"] != "none":
-            raise ValueError(
-                f'`neg_sample_args` [{self.neg_sample_args["strategy"]}] is not supported!'
-            )
 
-    def _neg_sampling(self, inter_feat: Interaction) -> Interaction:
+    # kept as properties: trainer/tests introspect these
+    @property
+    def dl_format(self):
+        return self.neg_spec.dl_format
+
+    @property
+    def times(self):
+        return self.neg_spec.times
+
+    @property
+    def neg_sample_args(self):
+        return self.neg_spec.args
+
+    @property
+    def neg_sample_num(self):
+        return self.neg_spec.sample_num
+
+    @property
+    def neg_item_id(self):
+        return self.neg_spec.neg_prefix + self.iid_field
+
+    def _neg_sampling(self, block: Interaction) -> Interaction:
         if getattr(self, "device_neg_sampling", False):
             # negatives are drawn inside the jitted train step
             # (ops/neg_sampling.py); the loader ships raw positives only
-            return inter_feat
-        if self.neg_sample_args.get("dynamic", "none") not in (None, "none"):
-            return self._dynamic_neg_sampling(inter_feat)
-        if self.neg_sample_args["strategy"] == "by":
-            user_ids = np.asarray(inter_feat[self.uid_field])
-            item_ids = np.asarray(inter_feat[self.iid_field])
-            neg_item_ids = self.sampler.sample_by_user_ids(
-                user_ids, item_ids, self.neg_sample_num
-            )
-            return self.sampling_func(inter_feat, neg_item_ids)
-        return inter_feat
+            return block
+        if self.neg_spec.args.get("dynamic", "none") not in (None, "none"):
+            return self._mine_hard_negatives(block)
+        if self.neg_spec.strategy == "by":
+            users = np.asarray(block[self.uid_field])
+            items = np.asarray(block[self.iid_field])
+            negs = self.sampler.sample_by_user_ids(users, items, self.neg_spec.sample_num)
+            return self.neg_spec.expand(self.dataset, block, negs)
+        return block
 
-    def _dynamic_neg_sampling(self, inter_feat: Interaction) -> Interaction:
-        """Hard-negative mining: score candidate_num× candidates with the
-        current model and keep the max (reference abstract_dataloader.py
-        :157-180)."""
-        candidate_num = self.neg_sample_args["dynamic"]
-        user_ids = np.asarray(inter_feat[self.uid_field])
-        item_ids = np.asarray(inter_feat[self.iid_field])
-        neg_candidate_ids = self.sampler.sample_by_user_ids(
-            user_ids, item_ids, self.neg_sample_num * candidate_num
-        )
-        interaction = copy.deepcopy(inter_feat)
-        interaction = interaction.repeat(self.neg_sample_num * candidate_num)
-        interaction.update(Interaction({self.iid_field: neg_candidate_ids}))
-        scores = np.asarray(self.model.score_batch(interaction)).reshape(candidate_num, -1)
-        indices = scores.argmax(axis=0)
-        neg_candidate_ids = neg_candidate_ids.reshape(candidate_num, -1)
-        neg_item_ids = neg_candidate_ids[indices, np.arange(neg_candidate_ids.shape[1])].reshape(-1)
-        return self.sampling_func(inter_feat, neg_item_ids)
-
-    def _neg_sample_by_pair_wise_sampling(self, inter_feat, neg_item_ids):
-        inter_feat = inter_feat.repeat(self.times)
-        neg_item_feat = Interaction({self.iid_field: neg_item_ids})
-        neg_item_feat = self.dataset.join(neg_item_feat)
-        neg_item_feat.add_prefix(self.neg_prefix)
-        inter_feat.update(neg_item_feat)
-        return inter_feat
-
-    def _neg_sample_by_point_wise_sampling(self, inter_feat, neg_item_ids):
-        pos_inter_num = len(inter_feat)
-        new_data = inter_feat.repeat(self.times)
-        new_data[self.iid_field][pos_inter_num:] = neg_item_ids
-        new_data = self.dataset.join(new_data)
-        labels = np.zeros(pos_inter_num * self.times, dtype=np.float32)
-        labels[:pos_inter_num] = 1.0
-        new_data.update(Interaction({self.label_field: labels}))
-        return new_data
+    def _mine_hard_negatives(self, block: Interaction) -> Interaction:
+        """Score candidate_num× candidates with the live model, keep the max
+        (reference abstract_dataloader.py:157-180)."""
+        candidate_num = self.neg_spec.args["dynamic"]
+        users = np.asarray(block[self.uid_field])
+        items = np.asarray(block[self.iid_field])
+        n_draw = self.neg_spec.sample_num * candidate_num
+        candidates = self.sampler.sample_by_user_ids(users, items, n_draw)
+        scored = copy.deepcopy(block).repeat(n_draw)
+        scored.update(Interaction({self.iid_field: candidates}))
+        scores = np.asarray(self.model.score_batch(scored)).reshape(candidate_num, -1)
+        grid = candidates.reshape(candidate_num, -1)
+        hardest = grid[scores.argmax(axis=0), np.arange(grid.shape[1])].reshape(-1)
+        return self.neg_spec.expand(self.dataset, block, hardest)
 
 
-class TrainDataLoader(NegSampleDataLoader):
+# --------------------------------------------------------------------------
+# training
+# --------------------------------------------------------------------------
+
+
+class TrainDataLoader(_NegSamplingLoader):
     def __init__(self, config, dataset, sampler, shuffle=False):
-        self._set_neg_sample_args(
+        self._bind_neg_spec(
             config, dataset, config["MODEL_INPUT_TYPE"], config["train_neg_sample_args"]
         )
         super().__init__(config, dataset, sampler, shuffle=shuffle)
 
     def _init_batch_size_and_step(self):
-        batch_size = self.config["train_batch_size"]
-        if self.neg_sample_args["strategy"] == "by":
-            batch_num = max(batch_size // self.times, 1)
-            self.step = batch_num
-            self.set_batch_size(batch_num * self.times)
+        budget = self.config["train_batch_size"]
+        if self.neg_spec.strategy == "by":
+            # raw rows per batch so the EXPANDED batch fits the budget
+            # (general_dataloader.py:40-49)
+            self.step = max(budget // self.neg_spec.times, 1)
+            self.set_batch_size(self.step * self.neg_spec.times)
         else:
-            self.step = batch_size
-            self.set_batch_size(batch_size)
+            self.step = budget
+            self.set_batch_size(budget)
 
     def update_config(self, config):
-        self._set_neg_sample_args(
+        self._bind_neg_spec(
             config, self.dataset, config["MODEL_INPUT_TYPE"], config["train_neg_sample_args"]
         )
         super().update_config(config)
@@ -227,133 +334,154 @@ class TrainDataLoader(NegSampleDataLoader):
         return cur_data
 
 
-class NegSampleEvalDataLoader(NegSampleDataLoader):
-    """Sampled eval (e.g. uni100): one user's rows never straddle batches."""
+# --------------------------------------------------------------------------
+# sampled evaluation (e.g. uni100)
+# --------------------------------------------------------------------------
+
+
+class NegSampleEvalDataLoader(_NegSamplingLoader):
+    """Sampled eval: one user's rows never straddle a batch.
+
+    The uid-sorted table is segmented once (`_UserSegments`); a batch is the
+    next ``step`` segments. Negatives are drawn with one sampler call per
+    user IN USER ORDER — the numpy RNG stream is part of the reference
+    parity surface (general_dataloader.py:119-158) and must not be fused
+    into one vectorized draw.
+    """
 
     def __init__(self, config, dataset, sampler, shuffle=False):
-        self._set_neg_sample_args(
+        self._bind_neg_spec(
             config, dataset, InputType.POINTWISE, config["eval_neg_sample_args"]
         )
-        if self.neg_sample_args["strategy"] == "by":
-            user_num = dataset.user_num
+        if self.neg_spec.strategy == "by":
             dataset.sort(by=dataset.uid_field, ascending=True)
-            self.uid_list = []
-            start, end = {}, {}
-            for i, uid in enumerate(np.asarray(dataset.inter_feat[dataset.uid_field])):
-                if uid not in start:
-                    self.uid_list.append(uid)
-                    start[uid] = i
-                end[uid] = i
-            self.uid2index = np.array([None] * user_num)
-            self.uid2items_num = np.zeros(user_num, dtype=np.int64)
-            for uid in self.uid_list:
-                self.uid2index[uid] = slice(start[uid], end[uid] + 1)
-                self.uid2items_num[uid] = end[uid] - start[uid] + 1
-            self.uid_list = np.array(self.uid_list)
+            self.segments = _UserSegments.from_sorted(
+                np.asarray(dataset.inter_feat[dataset.uid_field])
+            )
+            self.uid_list = self.segments.uid
         super().__init__(config, dataset, sampler, shuffle=shuffle)
 
     def _init_batch_size_and_step(self):
-        batch_size = self.config["eval_batch_size"]
-        if self.neg_sample_args["strategy"] == "by":
-            # Greedily pack whole users (each user costs rows × times) until
-            # the batch budget is exhausted (reference :102-117).
-            inters_num = sorted(self.uid2items_num * self.times, reverse=True)
-            batch_num = 1
-            new_batch_size = inters_num[0]
-            for i in range(1, len(inters_num)):
-                if new_batch_size + inters_num[i] > batch_size:
-                    break
-                batch_num = i + 1
-                new_batch_size += inters_num[i]
-            self.step = batch_num
-            self.set_batch_size(new_batch_size)
+        budget = self.config["eval_batch_size"]
+        if self.neg_spec.strategy == "by":
+            users, worst = _greedy_user_budget(
+                self.segments.rows * self.neg_spec.times, budget
+            )
+            self.step = users
+            self.set_batch_size(worst)
         else:
-            self.step = batch_size
-            self.set_batch_size(batch_size)
+            self.step = budget
+            self.set_batch_size(budget)
 
     def update_config(self, config):
-        self._set_neg_sample_args(
+        self._bind_neg_spec(
             config, self.dataset, InputType.POINTWISE, config["eval_neg_sample_args"]
         )
         super().update_config(config)
 
     @property
     def pr_end(self):
-        if self.neg_sample_args["strategy"] == "by":
-            return len(self.uid_list)
+        if self.neg_spec.strategy == "by":
+            return len(self.segments)
         return len(self.dataset)
 
     def _shuffle(self):
         self.logger.warning("NegSampleEvalDataLoader can't shuffle")
 
     def _next_batch_data(self):
-        if self.neg_sample_args["strategy"] == "by":
-            uid_list = self.uid_list[self.pr : self.pr + self.step]
-            data_list, idx_list, positive_u = [], [], []
-            positive_i = []
-            for idx, uid in enumerate(uid_list):
-                index = self.uid2index[uid]
-                data_list.append(self._neg_sampling(self.dataset[index]))
-                idx_list += [idx] * (self.uid2items_num[uid] * self.times)
-                positive_u += [idx] * self.uid2items_num[uid]
-                positive_i.append(np.asarray(self.dataset[index][self.iid_field]))
-            cur_data = cat_interactions(data_list)
-            idx_list = np.array(idx_list, dtype=np.int64)
-            positive_u = np.array(positive_u, dtype=np.int64)
-            positive_i = np.concatenate(positive_i).astype(np.int64)
+        if self.neg_spec.strategy != "by":
+            cur_data = self._neg_sampling(self.dataset[self.pr : self.pr + self.step])
             self.pr += self.step
-            return cur_data, idx_list, positive_u, positive_i
-        cur_data = self._neg_sampling(self.dataset[self.pr : self.pr + self.step])
+            return cur_data, None, None, None
+
+        j0, j1 = self.pr, min(self.pr + self.step, len(self.segments))
+        lo, hi = self.segments.lo[j0:j1], self.segments.hi[j0:j1]
+        counts = hi - lo
+
+        blocks = [
+            self._neg_sampling(self.dataset[int(l) : int(h)])
+            for l, h in zip(lo, hi)
+        ]
+        local = np.arange(j1 - j0, dtype=np.int64)
+        row_idx = np.repeat(local, counts * self.neg_spec.times)
+        positive_u = np.repeat(local, counts)
+        # rows are uid-sorted, so the batch's positives are one table slice
+        positive_i = np.asarray(
+            self.dataset[int(lo[0]) : int(hi[-1])][self.iid_field]
+        ).astype(np.int64)
+
         self.pr += self.step
-        return cur_data, None, None, None
+        return cat_interactions(blocks), row_idx, positive_u, positive_i
+
+
+# --------------------------------------------------------------------------
+# full-sort evaluation
+# --------------------------------------------------------------------------
 
 
 class FullSortEvalDataLoader(AbstractDataLoader):
+    """Full-catalog eval over CSR-flat positive/history structures.
+
+    Per evaluated user the reference keeps python sets (general_dataloader
+    .py:161-253); here positives and histories live in two flat (indptr,
+    values) array pairs built vectorized at construction, and a batch's
+    payload is four contiguous slices — O(1) python work per batch.
+    """
+
     def __init__(self, config, dataset, sampler, shuffle=False):
         self.uid_field = dataset.uid_field
         self.iid_field = dataset.iid_field
         self.is_sequential = config["MODEL_TYPE"] == ModelType.SEQUENTIAL
         if not self.is_sequential:
-            user_num = dataset.user_num
-            self.uid_list = []
-            self.uid2items_num = np.zeros(user_num, dtype=np.int64)
-            self.uid2positive_item = np.array([None] * user_num)
-            self.uid2history_item = np.array([None] * user_num)
-
             dataset.sort(by=self.uid_field, ascending=True)
             uids = np.asarray(dataset.inter_feat[self.uid_field])
             iids = np.asarray(dataset.inter_feat[self.iid_field])
-            # used ids come from the phase sampler as a sorted key array;
-            # samplers without accumulated history (Repeatable) contribute none
-            used_keys = getattr(sampler, "_used_keys", np.array([], dtype=np.uint64))
-            item_num = dataset.item_num
+            item_num = np.uint64(dataset.item_num)
 
-            boundaries = np.nonzero(np.diff(uids, prepend=uids[0] - 1))[0]
-            for i, s in enumerate(boundaries):
-                e = boundaries[i + 1] if i + 1 < len(boundaries) else len(uids)
-                uid = int(uids[s])
-                positive = np.unique(iids[s:e])
-                lo = np.searchsorted(used_keys, np.uint64(uid) * np.uint64(item_num))
-                hi = np.searchsorted(used_keys, np.uint64(uid + 1) * np.uint64(item_num))
-                used = (used_keys[lo:hi] % np.uint64(item_num)).astype(np.int64)
-                history = np.setdiff1d(used, positive, assume_unique=True)
-                self.uid_list.append(uid)
-                self.uid2positive_item[uid] = positive.astype(np.int64)
-                self.uid2items_num[uid] = len(positive)
-                self.uid2history_item[uid] = history
-            self.uid_list = np.array(self.uid_list, dtype=np.int64)
+            # positives: unique (uid, iid) pairs of this split, CSR by user
+            pair_keys = np.unique(
+                uids.astype(np.uint64) * item_num + iids.astype(np.uint64)
+            )
+            pos_uid = (pair_keys // item_num).astype(np.int64)
+            self._pos_items = (pair_keys % item_num).astype(np.int64)
+            self.uid_list = np.unique(pos_uid)
+            self._pos_indptr = np.searchsorted(
+                pos_uid, np.append(self.uid_list, self.uid_list[-1] + 1)
+            )
+
+            # history: the phase sampler's used pairs minus this split's
+            # positives, for evaluated users only (sorted-key set difference)
+            used_keys = np.asarray(
+                getattr(sampler, "_used_keys", np.array([], dtype=np.uint64)),
+                dtype=np.uint64,
+            )
+            if len(used_keys):
+                used_uid = (used_keys // item_num).astype(np.int64)
+                keep = np.isin(used_uid, self.uid_list)
+                pos_hit = np.searchsorted(pair_keys, used_keys)
+                pos_hit = np.clip(pos_hit, 0, len(pair_keys) - 1)
+                keep &= pair_keys[pos_hit] != used_keys
+                hist_keys = used_keys[keep]
+            else:
+                hist_keys = used_keys
+            hist_uid = (hist_keys // item_num).astype(np.int64)
+            self._hist_items = (hist_keys % item_num).astype(np.int64)
+            self._hist_indptr = np.searchsorted(
+                hist_uid, np.append(self.uid_list, self.uid_list[-1] + 1)
+            )
+
             self.user_df = dataset.join(Interaction({self.uid_field: self.uid_list}))
         super().__init__(config, dataset, sampler, shuffle=shuffle)
 
     def _init_batch_size_and_step(self):
-        batch_size = self.config["eval_batch_size"]
+        budget = self.config["eval_batch_size"]
         if not self.is_sequential:
-            batch_num = max(batch_size // self.dataset.item_num, 1)
-            self.step = batch_num
-            self.set_batch_size(batch_num * self.dataset.item_num)
+            # one user's full-sort row costs |I| scores
+            self.step = max(budget // self.dataset.item_num, 1)
+            self.set_batch_size(self.step * self.dataset.item_num)
         else:
-            self.step = batch_size
-            self.set_batch_size(batch_size)
+            self.step = budget
+            self.set_batch_size(budget)
 
     @property
     def pr_end(self):
@@ -361,42 +489,55 @@ class FullSortEvalDataLoader(AbstractDataLoader):
             return len(self.uid_list)
         return len(self.dataset)
 
+    @property
+    def max_history_len(self):
+        """Longest history any evaluated user carries (streaming-eval k')."""
+        if self.is_sequential or not len(self.uid_list):
+            return 0
+        return int(np.diff(self._hist_indptr).max(initial=0))
+
+    def history_items(self, uids):
+        """History item arrays for the given user ids (case-study surface)."""
+        pos = np.searchsorted(self.uid_list, np.asarray(uids))
+        return [
+            self._hist_items[self._hist_indptr[p] : self._hist_indptr[p + 1]]
+            for p in pos
+        ]
+
     def _shuffle(self):
         self.logger.warning("FullSortEvalDataLoader can't shuffle")
 
     def _next_batch_data(self):
-        if not self.is_sequential:
-            user_df = self.user_df[self.pr : self.pr + self.step]
-            uid_list = np.asarray(user_df[self.uid_field])
-
-            history_item = self.uid2history_item[uid_list]
-            positive_item = self.uid2positive_item[uid_list]
-
-            history_u = np.concatenate(
-                [np.full(len(h), i, dtype=np.int64) for i, h in enumerate(history_item)]
-            ) if len(history_item) else np.array([], dtype=np.int64)
-            history_i = (
-                np.concatenate(list(history_item)).astype(np.int64)
-                if len(history_item)
-                else np.array([], dtype=np.int64)
-            )
-            positive_u = np.concatenate(
-                [np.full(len(p), i, dtype=np.int64) for i, p in enumerate(positive_item)]
-            )
-            positive_i = np.concatenate(list(positive_item)).astype(np.int64)
-
+        if self.is_sequential:
+            interaction = self.dataset[self.pr : self.pr + self.step]
+            positive_u = np.arange(len(interaction), dtype=np.int64)
+            positive_i = np.asarray(interaction[self.iid_field])
             self.pr += self.step
-            return user_df, (history_u, history_i), positive_u, positive_i
-        interaction = self.dataset[self.pr : self.pr + self.step]
-        inter_num = len(interaction)
-        positive_u = np.arange(inter_num, dtype=np.int64)
-        positive_i = np.asarray(interaction[self.iid_field])
+            return interaction, None, positive_u, positive_i
+
+        j0, j1 = self.pr, min(self.pr + self.step, len(self.uid_list))
+        user_df = self.user_df[j0:j1]
+        local = np.arange(j1 - j0, dtype=np.int64)
+
+        p0, p1 = self._pos_indptr[j0], self._pos_indptr[j1]
+        positive_u = np.repeat(local, np.diff(self._pos_indptr[j0 : j1 + 1]))
+        positive_i = self._pos_items[p0:p1]
+
+        h0, h1 = self._hist_indptr[j0], self._hist_indptr[j1]
+        history_u = np.repeat(local, np.diff(self._hist_indptr[j0 : j1 + 1]))
+        history_i = self._hist_items[h0:h1]
+
         self.pr += self.step
-        return interaction, None, positive_u, positive_i
+        return user_df, (history_u, history_i), positive_u, positive_i
+
+
+# --------------------------------------------------------------------------
+# auxiliary loaders
+# --------------------------------------------------------------------------
 
 
 class UserDataLoader(AbstractDataLoader):
-    """Yields batches of all user ids (reference user_dataloader.py)."""
+    """Shuffled batches of every user id (reference user_dataloader.py)."""
 
     def __init__(self, config, dataset, sampler, shuffle=False):
         if shuffle is False:
@@ -406,9 +547,8 @@ class UserDataLoader(AbstractDataLoader):
         super().__init__(config, dataset, sampler, shuffle=shuffle)
 
     def _init_batch_size_and_step(self):
-        batch_size = self.config["train_batch_size"]
-        self.step = batch_size
-        self.set_batch_size(batch_size)
+        self.step = self.config["train_batch_size"]
+        self.set_batch_size(self.step)
 
     @property
     def pr_end(self):
@@ -426,29 +566,24 @@ class UserDataLoader(AbstractDataLoader):
 class FOCFDataLoader(TrainDataLoader):
     """Item-grouped batches for FOCF's per-item group-mean penalties.
 
-    Interactions are sorted by item; each batch accumulates *all* rows of
-    randomly drawn items until at least ``step`` rows are gathered
-    (reference focf_dataloader.py:17-51) so item×group means are computed
-    over every occurrence of an item.
+    Rows are item-sorted and segmented once; each batch takes every row of
+    freshly drawn random items until at least ``step`` rows are gathered
+    (reference focf_dataloader.py:17-51), so item×group means always see an
+    item's full occurrence set.
     """
 
     def __init__(self, config, dataset, sampler, shuffle=False):
         super().__init__(config, dataset, sampler, shuffle=False)
         dataset.sort(by=dataset.iid_field, ascending=True)
-        iids = np.asarray(dataset.inter_feat[dataset.iid_field])
-        self._iids_sorted = iids
-        # start/end row of every distinct item id (rows are item-sorted)
-        boundaries = np.nonzero(np.diff(iids, prepend=iids[0] - 1))[0]
-        self._item_uniques = iids[boundaries]
-        self._item_starts = boundaries
-        self._item_ends = np.append(boundaries[1:], len(iids))
-        self._max_group = int((self._item_ends - self._item_starts).max())
+        self.item_segments = _UserSegments.from_sorted(
+            np.asarray(dataset.inter_feat[dataset.iid_field])
+        )
 
     @property
     def max_batch_rows(self):
         # a batch stops once >= step rows are taken, so the worst case is
         # step-1 rows plus one whole item group
-        return self.step - 1 + self._max_group
+        return self.step - 1 + int(self.item_segments.rows.max(initial=0))
 
     @property
     def pr_end(self):
@@ -458,19 +593,14 @@ class FOCFDataLoader(TrainDataLoader):
         pass  # item draw below is already random per batch
 
     def _next_batch_data(self):
-        # Draw distinct random items (fresh pool each batch, as in the
-        # reference) and take every interaction of each drawn item until the
-        # row budget is met.
-        n_groups = len(self._item_uniques)
-        perm = np.random.permutation(n_groups)
-        rows, taken, i = [], 0, 0
-        while taken < self.step and i < n_groups:
-            g = perm[i]
-            s, e = self._item_starts[g], self._item_ends[g]
-            rows.append(np.arange(s, e))
-            taken += e - s
-            i += 1
-        index = np.concatenate(rows)
+        seg = self.item_segments
+        order = np.random.permutation(len(seg))
+        taken = np.cumsum(seg.rows[order])
+        n_groups = int(np.searchsorted(taken, self.step, side="left")) + 1
+        chosen = order[:n_groups]
+        index = np.concatenate(
+            [np.arange(seg.lo[g], seg.hi[g]) for g in chosen]
+        )
         cur_data = self._neg_sampling(self.dataset[index])
         self.pr += self.step
         return cur_data

@@ -925,9 +925,19 @@ class Dataset:
             )
         if form == "coo":
             data = np.ones(len(src), dtype=np.float32) if vals is None else vals
+
+            def _dim(field, ids):
+                # size by the field's id space (consistent with
+                # inter_matrix's fixed (user_num, item_num) shape even when
+                # the highest-id entities have no interactions); fall back
+                # to max+1 for fields without a known token id space
+                if self.field2type.get(field) in (FeatureType.TOKEN, FeatureType.TOKEN_SEQ):
+                    return self.num(field)
+                return int(ids.max(initial=0)) + 1
+
             return sp.coo_matrix(
                 (data, (src, tgt)),
-                shape=(int(src.max(initial=0)) + 1, int(tgt.max(initial=0)) + 1),
+                shape=(_dim(source_field, src), _dim(target_field, tgt)),
             )
         if form in ("dgl", "pyg"):
             raise NotImplementedError(

@@ -33,6 +33,9 @@ def distributed_topk_scores(mesh, user_emb, item_table, top_k, axis="model",
 
     Returns:
         (topk_scores [B, k], topk_idx [B, k]) with GLOBAL item indices.
+        When the total candidate count is smaller than ``top_k`` (tiny
+        catalogs), trailing slots carry score −inf and the out-of-range
+        index ``padded_table_rows`` (never a real item id).
     """
     n_shards = mesh.shape[axis]
     rows_per_shard = item_table.shape[0] // n_shards
@@ -57,10 +60,15 @@ def distributed_topk_scores(mesh, user_emb, item_table, top_k, axis="model",
         cand_scores = jax.lax.all_gather(local_scores, axis, axis=1, tiled=True)
         cand_idx = jax.lax.all_gather(global_idx, axis, axis=1, tiled=True)
         if cand_scores.shape[1] < top_k:
+            # fewer gathered candidates than k: pad with the out-of-range
+            # index sentinel (n_shards * rows_per_shard, one past the last
+            # table row) at -inf so padded slots can never be mistaken for
+            # real item ids by callers
             pad = top_k - cand_scores.shape[1]
             cand_scores = jnp.pad(cand_scores, ((0, 0), (0, pad)),
                                   constant_values=-jnp.inf)
-            cand_idx = jnp.pad(cand_idx, ((0, 0), (0, pad)))
+            cand_idx = jnp.pad(cand_idx, ((0, 0), (0, pad)),
+                               constant_values=n_shards * rows_per_shard)
         best_scores, pos = jax.lax.top_k(cand_scores, top_k)
         best_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
         return best_scores, best_idx

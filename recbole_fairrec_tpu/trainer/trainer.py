@@ -222,7 +222,14 @@ class Trainer(AbstractTrainer):
 
     def _make_step(self, loss_name, sst_list, tx):
         """One SGD step as a pure function (shared by the single-dispatch and
-        scan-macro-batched executables)."""
+        scan-macro-batched executables).
+
+        When device negative sampling is active and the batch does not
+        already carry negatives, they are drawn in-step; the scan executable
+        instead pre-draws the whole chunk's negatives in one vmapped op (see
+        :meth:`_get_scan_update_fn`) and ships batches WITH negatives, which
+        this step detects at trace time.
+        """
         model = self.model
         loss_method = getattr(model, loss_name)
         used_keys = getattr(self, "_device_used_keys", None)
@@ -238,7 +245,7 @@ class Trainer(AbstractTrainer):
             n_items = model.n_items
 
         def step(params, model_state, opt_state, rng, batch):
-            if inject_negs:
+            if inject_negs and neg_field not in batch:
                 rng, neg_rng = jax.random.split(rng)
                 negs = sample_negatives(
                     neg_rng, batch[uid_field], used_keys, n_items, num_neg=1
@@ -278,20 +285,61 @@ class Trainer(AbstractTrainer):
         if key in self._update_cache:
             return self._update_cache[key]
         step = self._make_step(loss_name, sst_list, self._tx_by_tag(tx_tag))
+        model = self.model
+        used_keys = getattr(self, "_device_used_keys", None)
+        hoist_negs = (
+            used_keys is not None
+            and loss_name == "calculate_loss"
+            and hasattr(model, "NEG_ITEM_ID")
+        )
+        if hoist_negs:
+            from ..ops.neg_sampling import sample_negatives
 
-        def update(params, model_state, opt_state, keys, stacked):
+            uid_field, neg_field = model.USER_ID, model.NEG_ITEM_ID
+            n_items = model.n_items
+
+        def update(params, model_state, opt_state, rng, stacked):
+            # the per-step key chain lives INSIDE the executable: splitting
+            # is deterministic, so this reproduces the host loop's sequential
+            # jax.random.split(self.rng) bit-for-bit while costing zero
+            # host↔device round trips (each host-side split is a ~10 ms
+            # device op over the TPU tunnel — 409/epoch was the entire
+            # round-2 epoch budget)
+            def split_body(k, _):
+                k, s = jax.random.split(k)
+                return k, s
+
+            rng, step_keys = jax.lax.scan(
+                split_body, rng, None, length=n_steps
+            )
+            if hoist_negs:
+                # draw the WHOLE chunk's negatives in one vmapped op before
+                # the scan: the 16-round rejection searchsorted then runs on
+                # [n_steps * B] lanes at once instead of [B]-sized gathers
+                # buried in the scan body (which dominated the epoch: ~5.6 ms
+                # of serial small-gather work per 0.06 ms step). Keys mirror
+                # the in-step path exactly: step_key -> (loss_rng, neg_rng).
+                pairs = jax.vmap(jax.random.split)(step_keys)
+                loss_keys, neg_keys = pairs[:, 0], pairs[:, 1]
+                negs = jax.vmap(
+                    lambda k, u: sample_negatives(k, u, used_keys, n_items, num_neg=1)
+                )(neg_keys, stacked[uid_field])
+                stacked = {**stacked, neg_field: negs.astype(jnp.int32)}
+            else:
+                loss_keys = step_keys
+
             def body(carry, xs):
                 params, model_state, opt_state = carry
-                rng, batch = xs
+                step_rng, batch = xs
                 loss, params, model_state, opt_state = step(
-                    params, model_state, opt_state, rng, batch
+                    params, model_state, opt_state, step_rng, batch
                 )
                 return (params, model_state, opt_state), loss
 
             (params, model_state, opt_state), losses = jax.lax.scan(
-                body, (params, model_state, opt_state), (keys, stacked)
+                body, (params, model_state, opt_state), (loss_keys, stacked)
             )
-            return jnp.sum(losses), params, model_state, opt_state
+            return jnp.sum(losses), params, model_state, opt_state, rng
 
         compiled = jax.jit(update, donate_argnums=(0, 2))
         self._update_cache[key] = compiled
@@ -408,17 +456,13 @@ class Trainer(AbstractTrainer):
             stacked = self._put_batch(
                 {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}, stacked=True
             )
-            # derive step keys by the SAME sequential splits as the per-step
-            # path, so macro batching is bit-identical to running the single
-            # update len(chunk) times
-            step_keys = []
-            for _ in chunk:
-                self.rng, step_rng = jax.random.split(self.rng)
-                step_keys.append(step_rng)
+            # step keys are derived inside the scan by the SAME sequential
+            # split chain as the per-step path, so macro batching is
+            # bit-identical to running the single update len(chunk) times
             update = self._get_scan_update_fn(loss_name, sst_list, tx_tag, len(chunk))
-            loss, self.params, self.model_state, new_opt = update(
+            loss, self.params, self.model_state, new_opt, self.rng = update(
                 self.params, self.model_state, self._opt_state_by_tag(tx_tag),
-                jnp.stack(step_keys), stacked,
+                self.rng, stacked,
             )
             self._set_opt_state_by_tag(tx_tag, new_opt)
             total_loss = loss if total_loss is None else total_loss + loss
@@ -1004,8 +1048,9 @@ class Trainer(AbstractTrainer):
             self._last_eval_path = "streaming"
         cand_i = np.asarray(cand_i)[:B]
 
-        # host-side PAD + history filtering, then truncate to k
-        forbidden = cand_i == 0
+        # host-side PAD + history filtering, then truncate to k (indices at
+        # or beyond the catalog are distributed-merge pad sentinels)
+        forbidden = (cand_i == 0) | (cand_i >= self.tot_item_num)
         if history_index is not None:
             hist_u, hist_i = history_index
             row_u = np.arange(B)
@@ -1045,11 +1090,7 @@ class Trainer(AbstractTrainer):
         """Static candidate count for streaming retrieval: k + the longest
         history any user carries + 1 (PAD)."""
         max_k = max(self.config["topk"])
-        max_hist = 0
-        for h in getattr(eval_data, "uid2history_item", []):
-            if h is not None and len(h) > max_hist:
-                max_hist = len(h)
-        return max_k + max_hist + 1
+        return max_k + getattr(eval_data, "max_history_len", 0) + 1
 
     def _retrieval_eval_capable(self):
         """Retrieval-form eval requires the model to both expose

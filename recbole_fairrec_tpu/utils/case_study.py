@@ -29,7 +29,7 @@ def full_sort_scores(uid_series, trainer, test_data):
     model = trainer.model
 
     input_interaction = dataset.join(Interaction({uid_field: uid_series}))
-    history_item = test_data.uid2history_item[list(uid_series)]
+    history_item = test_data.history_items(uid_series)
     history_row = np.concatenate(
         [np.full(len(h), i, dtype=np.int64) for i, h in enumerate(history_item)]
     ) if len(history_item) else np.array([], dtype=np.int64)

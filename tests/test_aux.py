@@ -142,8 +142,7 @@ def test_case_study_topk(tiny_data_path, tmp_path):
     assert scores.shape == (3, ds.item_num)
     assert np.all(scores[:, 0] == -np.inf)  # PAD masked
     # history masked
-    for i, uid in enumerate(uids):
-        hist = test.uid2history_item[uid]
+    for i, hist in enumerate(test.history_items(uids)):
         if len(hist):
             assert np.all(scores[i, hist] == -np.inf)
     topk_scores, topk_idx = full_sort_topk(uids, trainer, test, k=5)
