@@ -20,9 +20,9 @@ jit caches one executable per distinct subset, mirroring the reference's
 per-epoch sst masking without host round-trips inside the step.
 
 ``param_groups()`` maps adversarial group names ('filter', 'dis', ...) to
-top-level param-tree keys, which the trainers turn into optax masked
-optimizers (the analogue of the reference's per-optimizer param lists,
-trainer.py:1189-1236).
+top-level param-tree keys, which the trainers turn into group-restricted
+optimizers — optax.multi_transform with set_to_zero() off-group (the
+analogue of the reference's per-optimizer param lists, trainer.py:1189-1236).
 """
 
 from __future__ import annotations

@@ -31,6 +31,54 @@ def build_used_keys(user_ids, item_ids, item_num):
     return jnp.asarray(np.unique(keys))
 
 
+# One gather per membership query instead of searchsorted's ~20 dependent
+# binary-search gathers — the searchsorted path made in-step sampling ~60×
+# slower than the rest of the SGD step (measured 5.3 ms/step vs 0.08 ms at
+# ml-1M scale). 64 MB of packed bits covers ~537 M (user, item) pairs.
+_BITMAP_BUDGET_BYTES = 64 * 1024 * 1024
+
+
+def build_used_bitmap(user_ids, item_ids, user_num, item_num):
+    """Host-side: [user_num, ceil(item_num/32)] uint32 packed membership bits."""
+    words = (int(item_num) + 31) // 32
+    bitmap = np.zeros((int(user_num), words), dtype=np.uint32)
+    u = np.asarray(user_ids, dtype=np.int64)
+    i = np.asarray(item_ids, dtype=np.int64)
+    np.bitwise_or.at(bitmap, (u, i >> 5), np.uint32(1) << (i & 31).astype(np.uint32))
+    return jnp.asarray(bitmap)
+
+
+def build_used_table(user_ids, item_ids, user_num, item_num):
+    """Membership structure for :func:`sample_negatives`: packed bitmap when
+    it fits the budget (single-gather queries), else sorted keys. Either
+    return value is accepted by the samplers (dispatch on ndim at trace
+    time)."""
+    words = (int(item_num) + 31) // 32
+    if int(user_num) * words * 4 <= _BITMAP_BUDGET_BYTES:
+        return build_used_bitmap(user_ids, item_ids, user_num, item_num)
+    return build_used_keys(user_ids, item_ids, item_num)
+
+
+def _membership_fn(used, item_num):
+    """Trace-time dispatch: 2-D ``used`` = packed bitmap, 1-D = sorted keys.
+    Returns is_used(tiled_users, items) -> bool[total]."""
+    if used.ndim == 2:
+
+        def is_used(tiled_users, items):
+            items = items.astype(jnp.int32)
+            words = used[tiled_users.astype(jnp.int32), items >> 5]
+            return ((words >> (items & 31).astype(jnp.uint32)) & 1).astype(bool)
+
+    else:
+
+        def is_used(tiled_users, items):
+            keys = tiled_users * item_num + items.astype(tiled_users.dtype)
+            pos = jnp.clip(jnp.searchsorted(used, keys), 0, used.shape[0] - 1)
+            return used[pos] == keys
+
+    return is_used
+
+
 @functools.partial(jax.jit, static_argnames=("item_num", "num_neg", "n_rounds"))
 def sample_negatives(rng, user_ids, used_keys, item_num, num_neg=1, n_rounds=16):
     """Uniform negatives excluding used pairs, strided like the reference
@@ -39,7 +87,8 @@ def sample_negatives(rng, user_ids, used_keys, item_num, num_neg=1, n_rounds=16)
     Args:
         rng: PRNGKey.
         user_ids: [B] int array.
-        used_keys: sorted int64 keys from :func:`build_used_keys`.
+        used_keys: membership structure from :func:`build_used_table` —
+            2-D packed bitmap (one gather per query) or 1-D sorted keys.
         item_num: catalog size (PAD=0 never drawn).
         num_neg: negatives per user.
         n_rounds: static resample rounds.
@@ -49,17 +98,13 @@ def sample_negatives(rng, user_ids, used_keys, item_num, num_neg=1, n_rounds=16)
     """
     tiled_users = jnp.tile(user_ids.astype(jnp.int64), num_neg)
     total = tiled_users.shape[0]
-
-    def is_used(items):
-        keys = tiled_users * item_num + items.astype(jnp.int64)
-        pos = jnp.clip(jnp.searchsorted(used_keys, keys), 0, used_keys.shape[0] - 1)
-        return used_keys[pos] == keys
+    member = _membership_fn(used_keys, item_num)
 
     def round_fn(carry, key):
         items, bad = carry
         draws = jax.random.randint(key, (total,), 1, item_num)
         items = jnp.where(bad, draws, items)
-        bad = bad & is_used(items)
+        bad = bad & member(tiled_users, items)
         return (items, bad), None
 
     init_items = jnp.zeros(total, dtype=jnp.int64)
@@ -102,6 +147,7 @@ def sample_negatives_popularity(rng, user_ids, used_keys, alias_prob, alias_idx,
     tiled_users = jnp.tile(user_ids.astype(jnp.int64), num_neg)
     total = tiled_users.shape[0]
     n_slots = alias_prob.shape[0]
+    member = _membership_fn(used_keys, item_num)
 
     def draw(key):
         k1, k2 = jax.random.split(key)
@@ -110,16 +156,11 @@ def sample_negatives_popularity(rng, user_ids, used_keys, alias_prob, alias_idx,
         chosen = jnp.where(coins < alias_prob[slots], slots, alias_idx[slots])
         return alias_values[chosen]
 
-    def is_used(items):
-        keys = tiled_users * item_num + items.astype(jnp.int64)
-        pos = jnp.clip(jnp.searchsorted(used_keys, keys), 0, used_keys.shape[0] - 1)
-        return used_keys[pos] == keys
-
     def round_fn(carry, key):
         items, bad = carry
         draws = draw(key)
         items = jnp.where(bad, draws, items)
-        bad = bad & is_used(items)
+        bad = bad & member(tiled_users, items)
         return (items, bad), None
 
     (items, _), _ = jax.lax.scan(

@@ -199,24 +199,36 @@ class Trainer(AbstractTrainer):
         # reference nfcf.py:66 sets requires_grad=False)
         frozen = getattr(self.model, "frozen_param_keys", lambda: [])()
         if frozen:
-            tx = optax.masked(tx, self._group_mask([
-                k for k in self.params.keys() if k not in frozen
-            ]))
+            tx = self._restrict_tx(
+                tx, [k for k in self.params.keys() if k not in frozen]
+            )
         return tx
 
-    def _group_mask(self, group_keys):
-        """Pytree mask selecting top-level param keys in ``group_keys``."""
+    def _restrict_tx(self, inner, group_keys):
+        """Apply ``inner`` to the given top-level param keys and ZERO every
+        other update. optax.masked alone is wrong here: it passes unmasked
+        leaves' updates (i.e. raw gradients) through UNCHANGED, and
+        apply_updates would then add +grad to every out-of-group param — a
+        full-lr gradient-ASCENT kick per step on params the reference's
+        per-optimizer groups never touch."""
+        group_keys = set(group_keys)
 
-        def mask(params):
-            return {k: jax.tree_util.tree_map(lambda _: k in group_keys, v) for k, v in params.items()}
+        def label(params):
+            return {
+                k: jax.tree_util.tree_map(
+                    lambda _: "on" if k in group_keys else "off", v
+                )
+                for k, v in params.items()
+            }
 
-        return mask
+        return optax.multi_transform(
+            {"on": inner, "off": optax.set_to_zero()}, label
+        )
 
     def _masked_tx(self, group_keys, **kwargs):
-        """Optimizer updating only the given top-level param keys — the optax
+        """Optimizer updating ONLY the given top-level param keys — the optax
         rendering of the reference's per-optimizer param lists."""
-        inner = self._build_optimizer(**kwargs)
-        return optax.masked(inner, self._group_mask(group_keys))
+        return self._restrict_tx(self._build_optimizer(**kwargs), group_keys)
 
     # ------------------------------------------------------------ jit steps
 
@@ -407,12 +419,13 @@ class Trainer(AbstractTrainer):
             return
         if getattr(self, "_device_used_keys", None) is not None:
             return
-        from ..ops.neg_sampling import build_used_keys
+        from ..ops.neg_sampling import build_used_table
 
         ds = train_data.dataset
-        self._device_used_keys = build_used_keys(
+        self._device_used_keys = build_used_table(
             np.asarray(ds.inter_feat[ds.uid_field]),
             np.asarray(ds.inter_feat[ds.iid_field]),
+            ds.user_num,
             ds.item_num,
         )
         self.logger.info("on-device negative sampling enabled")

@@ -84,11 +84,21 @@ def setup_reference():
         torch.load = _load
         _state["stubs"].append("__torch_load__")
     # scipy removed the private dok_matrix._update the reference uses to bulk
-    # fill its rating matrix (fairgo_pmf.py:112); dok is still a dict subclass
+    # fill its rating matrix (fairgo_pmf.py:111). CAUTION: dok no longer
+    # keeps its payload in the dict-self (scipy ≥1.13 stores it in an
+    # internal dict), so a `dict.update(self, d)` shim silently leaves the
+    # matrix EMPTY — FairGo then propagates a zero graph and its local
+    # discriminators attack a constant embedding (this bug shaped the
+    # round-2 FairGo reference parity runs; see PARITY_RUNS.md). Route
+    # through __setitem__, which scipy keeps correct.
     import scipy.sparse as sp
 
     if not hasattr(sp.dok_matrix, "_update"):
-        sp.dok_matrix._update = lambda self, d: dict.update(self, d)
+        def _dok_update(self, d):
+            for k, v in d.items():
+                self[k] = v
+
+        sp.dok_matrix._update = _dok_update
         _state["stubs"].append("__scipy_dok_update__")
     _state["done"] = True
 

@@ -208,6 +208,32 @@ def test_device_negative_sampler_excludes_used():
     assert collisions == 0
 
 
+def test_device_negative_sampler_bitmap_matches_sorted():
+    """Bitmap membership (single-gather) must reproduce the sorted-key path
+    draw-for-draw: same PRNG keys + same accept/reject decisions."""
+    from recbole_fairrec_tpu.ops.neg_sampling import (
+        build_used_bitmap, build_used_keys, build_used_table, sample_negatives,
+    )
+
+    rng = np.random.RandomState(11)
+    n_users, n_items = 30, 70
+    uids = rng.randint(1, n_users, 500)
+    iids = rng.randint(1, n_items, 500)
+    bitmap = build_used_bitmap(uids, iids, n_users, n_items)
+    assert bitmap.ndim == 2 and build_used_table(uids, iids, n_users, n_items).ndim == 2
+    sorted_keys = build_used_keys(uids, iids, n_items)
+
+    batch_users = jnp.asarray(rng.randint(1, n_users, 128))
+    key = jax.random.PRNGKey(3)
+    neg_bitmap = np.asarray(sample_negatives(key, batch_users, bitmap, n_items, num_neg=2))
+    neg_sorted = np.asarray(sample_negatives(key, batch_users, sorted_keys, n_items, num_neg=2))
+    np.testing.assert_array_equal(neg_bitmap, neg_sorted)
+
+    used = set(zip(uids.tolist(), iids.tolist()))
+    tiled = np.tile(np.asarray(batch_users), 2)
+    assert sum((u, v) in used for u, v in zip(tiled.tolist(), neg_bitmap.tolist())) == 0
+
+
 def test_device_repeatable_sampler():
     from recbole_fairrec_tpu.ops.neg_sampling import sample_negatives_repeatable
 
