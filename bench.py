@@ -181,6 +181,96 @@ def bench_train_step(trainer, train_data):
     return n_steps * batch_size / dt
 
 
+def bench_uni100_eval():
+    """users/s through Trainer.evaluate under the reference's actual eval
+    protocol — mode uni100 (100 uniform sampled negatives/user,
+    recbole/properties/model/FOCF.yaml:27). No published reference timing
+    exists for this mode; recorded as an absolute regression number."""
+    from recbole_fairrec_tpu.config import Config
+    from recbole_fairrec_tpu.data import create_dataset, data_preparation
+    from recbole_fairrec_tpu.trainer import Trainer
+    from recbole_fairrec_tpu.utils import get_model, init_seed
+
+    config = Config(
+        model="PFCN_PMF",
+        dataset=DS,
+        config_dict={
+            "data_path": _ensure_dataset(),
+            "load_col": {"inter": ["user_id", "item_id", "rating"],
+                         "user": ["user_id", "gender"]},
+            "filter_mode": "none",
+            "embedding_size": EMB,
+            "metrics": ["NDCG", "Recall", "Hit", "MRR"],
+            "topk": [10],
+            "valid_metric": "NDCG@10",
+            "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "RO",
+                          "group_by": "user", "mode": "uni100"},
+            "show_progress": False,
+            "save_dataset": True,
+            "checkpoint_dir": os.path.join(DATA_DIR, "saved"),
+        },
+    )
+    init_seed(config["seed"], config["reproducibility"])
+    dataset = create_dataset(config)
+    _, valid_data, _ = data_preparation(config, dataset)
+    model = get_model(config["model"])(config, valid_data.dataset)
+    trainer = Trainer(config, model)
+    n_users = valid_data.pr_end
+    trainer.evaluate(valid_data, load_best_model=False)  # compile warmup
+    t0 = time.perf_counter()
+    trainer.evaluate(valid_data, load_best_model=False)
+    dt = time.perf_counter() - t0
+    return n_users / dt, dt
+
+
+def bench_adversarial_epoch():
+    """examples/s through PFCNTrainer._train_epoch with filter_mode=cm: one
+    adversarial alternation epoch = full filter pass (rec − w·dis, filter
+    optimizer) + full discriminator pass (reference trainer.py:875-898).
+    The reference publishes no adversarial timing; absolute regression
+    number."""
+    from recbole_fairrec_tpu.config import Config
+    from recbole_fairrec_tpu.data import create_dataset, data_preparation
+    from recbole_fairrec_tpu.utils import get_model, get_trainer, init_seed
+
+    config = Config(
+        model="PFCN_PMF",
+        dataset=DS,
+        config_dict={
+            "data_path": _ensure_dataset(),
+            "load_col": {"inter": ["user_id", "item_id", "rating"],
+                         "user": ["user_id", "gender"]},
+            "filter_mode": "cm",
+            "sst_attr_list": ["gender"],
+            "embedding_size": EMB,
+            "train_batch_size": 2048,
+            "neg_sampling": {"uniform": 1},
+            "device_neg_sampling": True,
+            "metrics": ["NDCG"],
+            "topk": [10],
+            "valid_metric": "NDCG@10",
+            "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "RO",
+                          "group_by": "user", "mode": "full"},
+            "show_progress": False,
+            "save_dataset": True,
+            "checkpoint_dir": os.path.join(DATA_DIR, "saved"),
+        },
+    )
+    init_seed(config["seed"], config["reproducibility"])
+    dataset = create_dataset(config)
+    train_data, _, _ = data_preparation(config, dataset)
+    model = get_model(config["model"])(config, train_data.dataset)
+    trainer = get_trainer(None, "PFCN_PMF")(config, model)
+    n_examples = len(train_data.dataset.inter_feat)
+    trainer._train_epoch(train_data, 0)  # warmup: compiles filter+dis scans
+    t0 = time.perf_counter()
+    epochs = 2
+    for e in range(epochs):
+        trainer._train_epoch(train_data, e)  # e%interval==0 → both passes
+    dt = (time.perf_counter() - t0) / epochs
+    return n_examples / dt, dt
+
+
 def bench_pallas_topk():
     """Fused Pallas top-k vs dense matmul+lax.top_k: exactness + latency."""
     import jax
@@ -239,6 +329,10 @@ def main():
     epoch_ex_s, epoch_s = bench_train_epoch(trainer, train_data)
     _stage("full-sort eval variants")
     eval_dense, eval_stream, agree, dense_dt, stream_dt = bench_eval(trainer, valid_data)
+    _stage("uni100 sampled eval")
+    uni100_users_s, uni100_dt = bench_uni100_eval()
+    _stage("adversarial (cm) train epoch")
+    adv_ex_s, adv_dt = bench_adversarial_epoch()
     _stage("pallas top-k exactness")
     pallas_exact, pallas_ms, dense_ms = bench_pallas_topk()
 
@@ -256,6 +350,10 @@ def main():
         "fullsort_eval_items_per_s_streaming": round(eval_stream, 1),
         "fullsort_eval_s_streaming": round(stream_dt, 3),
         "eval_variants_agree": agree,
+        "uni100_eval_users_per_s": round(uni100_users_s, 1),
+        "uni100_eval_s": round(uni100_dt, 3),
+        "adv_train_epoch_examples_per_s": round(adv_ex_s, 1),
+        "adv_train_epoch_s": round(adv_dt, 3),
         "pallas_topk_exact": pallas_exact,
         "pallas_topk_ms": None if pallas_ms is None else round(pallas_ms, 3),
         "dense_topk_ms": None if dense_ms is None else round(dense_ms, 3),

@@ -24,11 +24,16 @@ import numpy as np
 
 
 def build_used_keys(user_ids, item_ids, item_num):
-    """Host-side: sorted key array for a phase's used (user, item) pairs."""
+    """Host-side: sorted key array for a phase's used (user, item) pairs.
+    int32 when the key space fits (TPU default — no-x64 would silently
+    truncate int64 anyway); int64 beyond 2^31 keys requires jax x64."""
     keys = np.asarray(user_ids, dtype=np.int64) * int(item_num) + np.asarray(
         item_ids, dtype=np.int64
     )
-    return jnp.asarray(np.unique(keys))
+    keys = np.unique(keys)
+    if keys.size == 0 or keys[-1] < 2**31:
+        keys = keys.astype(np.int32)
+    return jnp.asarray(keys)
 
 
 # One gather per membership query instead of searchsorted's ~20 dependent
@@ -96,18 +101,19 @@ def sample_negatives(rng, user_ids, used_keys, item_num, num_neg=1, n_rounds=16)
     Returns:
         [B * num_neg] item ids.
     """
-    tiled_users = jnp.tile(user_ids.astype(jnp.int64), num_neg)
+    idx_dtype = used_keys.dtype if used_keys.ndim == 1 else jnp.int32
+    tiled_users = jnp.tile(user_ids.astype(idx_dtype), num_neg)
     total = tiled_users.shape[0]
     member = _membership_fn(used_keys, item_num)
 
     def round_fn(carry, key):
         items, bad = carry
-        draws = jax.random.randint(key, (total,), 1, item_num)
+        draws = jax.random.randint(key, (total,), 1, item_num, dtype=idx_dtype)
         items = jnp.where(bad, draws, items)
         bad = bad & member(tiled_users, items)
         return (items, bad), None
 
-    init_items = jnp.zeros(total, dtype=jnp.int64)
+    init_items = jnp.zeros(total, dtype=idx_dtype)
     init_bad = jnp.ones(total, dtype=bool)
     (items, _), _ = jax.lax.scan(
         round_fn, (init_items, init_bad), jax.random.split(rng, n_rounds)
@@ -144,7 +150,8 @@ def sample_negatives_popularity(rng, user_ids, used_keys, alias_prob, alias_idx,
     (sampler.py:72-120): draw a slot, flip the alias coin, reject used pairs.
     ``item_num`` must match the stride used by :func:`build_used_keys`.
     """
-    tiled_users = jnp.tile(user_ids.astype(jnp.int64), num_neg)
+    idx_dtype = used_keys.dtype if used_keys.ndim == 1 else jnp.int32
+    tiled_users = jnp.tile(user_ids.astype(idx_dtype), num_neg)
     total = tiled_users.shape[0]
     n_slots = alias_prob.shape[0]
     member = _membership_fn(used_keys, item_num)
@@ -154,7 +161,7 @@ def sample_negatives_popularity(rng, user_ids, used_keys, alias_prob, alias_idx,
         slots = jax.random.randint(k1, (total,), 0, n_slots)
         coins = jax.random.uniform(k2, (total,))
         chosen = jnp.where(coins < alias_prob[slots], slots, alias_idx[slots])
-        return alias_values[chosen]
+        return alias_values[chosen].astype(idx_dtype)
 
     def round_fn(carry, key):
         items, bad = carry
@@ -165,7 +172,7 @@ def sample_negatives_popularity(rng, user_ids, used_keys, alias_prob, alias_idx,
 
     (items, _), _ = jax.lax.scan(
         round_fn,
-        (jnp.zeros(total, dtype=jnp.int64), jnp.ones(total, dtype=bool)),
+        (jnp.zeros(total, dtype=idx_dtype), jnp.ones(total, dtype=bool)),
         jax.random.split(rng, n_rounds),
     )
     return items
