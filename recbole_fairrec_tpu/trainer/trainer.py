@@ -943,24 +943,33 @@ class Trainer(AbstractTrainer):
         from ..data.interaction import cat_interactions
 
         target_scores = self.config["eval_macro_scores"] or 16_000_000
+        max_users = max(1, target_scores // max(self.tot_item_num or 1, 1))
         if kind == "full":
-            max_users = max(1, target_scores // max(self.tot_item_num or 1, 1))
+            target_rows = None
         else:
-            max_users = None
-        target_rows = self.config["eval_macro_rows"] or 131_072
+            # sampled mode's device cost is the [users, |I|] scatter in
+            # sampled_eval_step, so budget users by the same score target as
+            # full mode (ml-1M uni100: 2 dispatches instead of 64 — the
+            # per-dispatch tunnel RTT dominated the 15 s round-3 eval);
+            # rows bound the host→device transfer per dispatch.
+            target_rows = self.config["eval_macro_rows_sampled"] or 8_388_608
 
         buf = []
-        acc = 0  # users (full mode) or candidate rows (sampled mode)
+        acc_users = 0
+        acc_rows = 0
         for batched_data in eval_data:
             if kind != "full" and batched_data[1] is None:
                 yield batched_data  # labeled mode: nothing to merge
                 continue
             buf.append(batched_data)
-            acc += len(batched_data[0])
-            limit = max_users if kind == "full" else target_rows
-            if acc >= limit:
+            if kind == "full":
+                acc_users += len(batched_data[0])
+            else:
+                acc_rows += len(batched_data[0])
+                acc_users += int(batched_data[3][-1]) + 1
+            if acc_users >= max_users or (target_rows and acc_rows >= target_rows):
                 yield self._merge_batches(buf, kind)
-                buf, acc = [], 0
+                buf, acc_users, acc_rows = [], 0, 0
         if buf:
             yield self._merge_batches(buf, kind)
 

@@ -334,9 +334,18 @@ def report():
     for path in sorted(glob.glob(os.path.join(RUNS_DIR, "*.json"))):
         with open(path) as f:
             p = json.load(f)
-        if p["device"] != "cpu":
+        # reference always runs on torch CPU; 'ours' rows may come from the
+        # CPU or TPU backend (device-independent math — BENCH pins eval
+        # agreement). CPU wins when the same (run, seed) exists on both.
+        if p["framework"] == "ref" and p["device"] != "cpu":
             continue
-        rows.setdefault((p["run"], p["framework"]), []).append(p)
+        key = (p["run"], p["framework"])
+        rows.setdefault(key, []).append(p)
+    for key, plist in rows.items():
+        by_seed = {}
+        for p in sorted(plist, key=lambda q: q["device"] != "cpu"):
+            by_seed.setdefault(p["seed"], p)
+        rows[key] = list(by_seed.values())
 
     lines = [
         "# PARITY_RUNS — golden training-parity numbers",
@@ -347,8 +356,9 @@ def report():
         "uni100, NDCG@5 valid metric, epochs 300 / early-stop 10, batch 2048,",
         "adam 1e-3, seeds 2020–2024. Both frameworks consume the SAME",
         "generated config file (see scripts/parity_runs.py). Reference runs on",
-        "torch CPU; ours on the JAX CPU backend (device-independent math;",
-        "TPU runs of ours agree with CPU, see BENCH artifacts).",
+        "torch CPU; ours on the JAX CPU or TPU backend (device-independent",
+        "math; BENCH pins CPU/TPU eval agreement, and each JSON records its",
+        "device).",
         "",
         "FairGo_PMF: pretrain_epochs capped 600→60 and epochs 300→100 in BOTH",
         "frameworks for CPU tractability.",
@@ -406,7 +416,11 @@ def report():
         ref_t = sum(p["wall_s"] for p in ref_runs) / len(ref_runs)
         our_t = sum(p["wall_s"] for p in our_runs) / len(our_runs)
         lines.append("")
-        lines.append(f"mean wall-clock/run (CPU): ref {ref_t:.0f}s, ours {our_t:.0f}s")
+        our_dev = "/".join(sorted({p["device"] for p in our_runs}))
+        lines.append(
+            f"mean wall-clock/run: ref {ref_t:.0f}s (cpu), "
+            f"ours {our_t:.0f}s ({our_dev})"
+        )
         lines.append("")
     lines.append(
         "**Overall: "
