@@ -302,6 +302,27 @@ adjacency matrices agree to 3e-8 and FairGo finetune loss AND gradients
 match to 2e-7 (`tests/test_trajectory_parity.py::test_fairgo_finetune_gradient_parity`).
 All FairGo reference rows above are post-fix reruns.
 
+### FairGo reference Value/Absolute/Under-Unfairness are NaN — collector slice defect
+
+Every FairGo reference run reports NaN for Value/Absolute/Underestimation
+Unfairness (the "NaN runs" rows above). Cause: the reference collector's
+sampled-mode negative extraction slices interaction rows
+`[pos_len : 2·pos_len]` globally (`collector.py:191-200`), which is only
+each user's first negative block when the batch holds ONE user. FOCF/NFCF
+stay in that regime (eval_batch_size 4096 < one user's uni100 row count
+forces step=1), but `FairGo_PMF.yaml:46` raises eval_batch_size to 16384 →
+~10 users per batch → the slice crosses user blocks and pairs users with
+items they never scored: `scores[u, i] = −inf` leaks into
+`rec.negative_score`, and −inf − (−inf) = NaN inside the metric
+(Overestimation survives only because `max(0, −inf − r)` clips to 0 —
+finite but silently wrong). Pinned by
+`tests/test_reference_parity.py::test_reference_multiuser_negative_slice_defect`.
+Our collector takes each user's own first negative block
+(`evaluator/collector.py:_first_negative_block`) — identical to the
+reference in its single-user regime, finite and correct beyond it — so for
+these three metrics the reference provides no comparable number and ours
+stands as the framework's value.
+
 ### Round-3 rerun of all adversarial/frozen 'ours' runs
 
 Round-2 'ours' adversarial runs were trained with a group-masking defect:

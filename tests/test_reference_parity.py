@@ -137,3 +137,74 @@ def test_tail_popularity_metrics_match_reference(ref_metrics):
         our_result = getattr(our_m, name)(cfg).calculate_metric(NpStruct(data))
         for key in ref_result:
             assert our_result[key] == pytest.approx(ref_result[key], abs=2e-4), name
+
+
+def test_reference_multiuser_negative_slice_defect(ref_recbole):
+    """The reference collector's sampled-mode negative extraction
+    (collector.py:191-200) slices interaction rows [pos_len : 2·pos_len]
+    globally — only the negatives when the batch holds ONE user. A
+    multi-user batch (FairGo_PMF.yaml raises eval_batch_size to 16384 →
+    ~10 users/batch on ml-100k) crosses user blocks, pairing users with
+    items they never scored: scores_tensor[u, i] = −inf leaks into
+    rec.negative_score and Value/Absolute/Under-Unfairness become NaN
+    (observed in every FairGo reference parity run; Over survives only
+    because max(0, −inf−r) clips to 0 — silently wrong). Ours extracts each
+    user's own first negative block and must stay finite and exactly equal
+    to the scored negatives."""
+    import torch
+
+    from recbole.evaluator.collector import Collector as RefCollector
+    from recbole_fairrec_tpu.evaluator.collector import Collector as OurCollector
+
+    n_items = 12
+    cfg = dict(
+        metrics=["ValueUnfairness"], topk=[2], sst_attr_list=["gender"],
+        ITEM_ID_FIELD="item_id", USER_ID_FIELD="user_id", LABEL_FIELD="label",
+        eval_args={"mode": "uni20", "order": "RO", "split": {"RS": [8, 1, 1]},
+                   "group_by": "user"},
+        metric_decimal_place=4,
+    )
+    # two users, times=1: user A rows [p p p n n n], user B rows [p n].
+    # pos_len=4 → the reference's global slice [4:8] picks rows
+    # [A-neg2, A-neg3, B-pos, B-neg] and pairs them with users [A, A, A, B]:
+    # (A, B's positive item 7) was never scored by A → −inf.
+    rows_items = np.array([1, 2, 3, 4, 5, 6,    # user A: pos 1,2,3; negs 4,5,6
+                           7, 8])               # user B: pos 7; neg 8
+    rows_gender = np.array([0] * 6 + [1] * 2)
+    positive_u = np.array([0, 0, 0, 1])
+    positive_i = np.array([1, 2, 3, 7])
+    # each user's scored cells: own pos + own negs; everything else −inf
+    scores = np.full((2, n_items), -np.inf, dtype=np.float32)
+    scores[0, [1, 2, 3, 4, 5, 6]] = [0.9, 0.8, 0.75, 0.1, 0.2, 0.3]
+    scores[1, [7, 8]] = [0.7, 0.35]
+
+    ref_collector = RefCollector(Cfg(cfg))
+    ref_inter = {
+        "item_id": torch.from_numpy(rows_items),
+        "gender": torch.from_numpy(rows_gender),
+    }
+
+    class _Inter(dict):
+        @property
+        def columns(self):
+            return list(self.keys())
+
+    ref_collector.eval_batch_collect(
+        torch.from_numpy(scores), _Inter(ref_inter),
+        torch.from_numpy(positive_u), torch.from_numpy(positive_i),
+    )
+    ref_neg = ref_collector.data_struct.get("rec.negative_score").numpy()
+    assert np.isinf(ref_neg).any(), "reference defect vanished — re-examine"
+
+    from recbole_fairrec_tpu.data.interaction import Interaction
+
+    our_collector = OurCollector(Cfg(cfg))
+    our_collector.eval_batch_collect(
+        scores, Interaction({"item_id": rows_items, "gender": rows_gender}),
+        positive_u, positive_i,
+    )
+    our_neg = np.asarray(our_collector.data_struct.get("rec.negative_score"))
+    assert np.isfinite(our_neg).all()
+    # first negative block per user, aligned with that user's positives:
+    # user A's negs 4,5,6 then user B's neg 8
+    np.testing.assert_allclose(our_neg, [0.1, 0.2, 0.3, 0.35], rtol=1e-6)
