@@ -300,7 +300,10 @@ finetune. That (not framework drift) produced round 2's 4× NonParity gap.
 The shim now routes through `__setitem__` (`tests/ref_compat.py`); with it,
 adjacency matrices agree to 3e-8 and FairGo finetune loss AND gradients
 match to 2e-7 (`tests/test_trajectory_parity.py::test_fairgo_finetune_gradient_parity`).
-All FairGo reference rows above are post-fix reruns.
+All FairGo reference rows above are post-fix reruns. (Reference FairGo
+seeds 2023/2024 are still queued — each takes ~45–75 CPU-minutes; rerun via
+`python scripts/parity_runs.py --run FairGo_PMF --framework ref --seed 2023`
+and regenerate this report with `--report`.)
 
 ### FairGo reference Value/Absolute/Under-Unfairness are NaN — collector slice defect
 
