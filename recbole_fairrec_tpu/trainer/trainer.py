@@ -966,7 +966,7 @@ class Trainer(AbstractTrainer):
                 acc_users += len(batched_data[0])
             else:
                 acc_rows += len(batched_data[0])
-                acc_users += int(batched_data[3][-1]) + 1
+                acc_users += int(batched_data[2][-1]) + 1
             if acc_users >= max_users or (target_rows and acc_rows >= target_rows):
                 yield self._merge_batches(buf, kind)
                 buf, acc_users, acc_rows = [], 0, 0
