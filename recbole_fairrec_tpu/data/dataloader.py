@@ -396,22 +396,59 @@ class NegSampleEvalDataLoader(_NegSamplingLoader):
 
         j0, j1 = self.pr, min(self.pr + self.step, len(self.segments))
         lo, hi = self.segments.lo[j0:j1], self.segments.hi[j0:j1]
-        counts = hi - lo
+        counts = (hi - lo).astype(np.int64)
+        base, end = int(lo[0]), int(hi[-1])
+        times = self.neg_spec.times
+        sample_num = self.neg_spec.sample_num
 
-        blocks = [
-            self._neg_sampling(self.dataset[int(l) : int(h)])
+        # One joined slice for the whole batch; negatives are still drawn
+        # with one sampler call per user IN USER ORDER (the numpy RNG
+        # stream is reference parity surface, general_dataloader.py:119-158)
+        # but the pointwise expansion is assembled batch-wide instead of
+        # per-user-block + cat (the former host hot spot of uni100 eval).
+        tbl = self.dataset[base:end]
+        users_all = np.asarray(tbl[self.uid_field])
+        items_all = np.asarray(tbl[self.iid_field])
+        negs = [
+            self.sampler.sample_by_user_ids(
+                users_all[int(l) - base : int(h) - base],
+                items_all[int(l) - base : int(h) - base],
+                sample_num,
+            )
             for l, h in zip(lo, hi)
         ]
+
+        # Layout parity with _NegSpec._pointwise: per user the positive
+        # block tiled `times` times, the item column of the copies
+        # rewritten with that user's draws, labels 1 for the first block.
+        tiles = np.concatenate(
+            [np.tile(np.arange(int(l) - base, int(h) - base), times)
+             for l, h in zip(lo, hi)]
+        )
+        fields = {k: np.asarray(v)[tiles] for k, v in tbl.interaction.items()}
+        item_col = fields[self.iid_field].copy()
+        rows_per_user = counts * times
+        total = int(rows_per_user.sum())
+        off = 0
+        for cnt, neg in zip(counts, negs):
+            item_col[off + cnt : off + cnt * times] = neg
+            off += cnt * times
+        fields[self.iid_field] = item_col
+        block_off = np.concatenate([[0], np.cumsum(rows_per_user)])[:-1]
+        within = np.arange(total) - np.repeat(block_off, rows_per_user)
+        labels = (within < np.repeat(counts, rows_per_user)).astype(np.float32)
+        out = Interaction(fields)
+        out.update(Interaction({self.neg_spec.label_field: labels}))
+        out = self.dataset.join(out)
+
         local = np.arange(j1 - j0, dtype=np.int64)
-        row_idx = np.repeat(local, counts * self.neg_spec.times)
+        row_idx = np.repeat(local, rows_per_user)
         positive_u = np.repeat(local, counts)
         # rows are uid-sorted, so the batch's positives are one table slice
-        positive_i = np.asarray(
-            self.dataset[int(lo[0]) : int(hi[-1])][self.iid_field]
-        ).astype(np.int64)
+        positive_i = items_all.astype(np.int64)
 
         self.pr += self.step
-        return cat_interactions(blocks), row_idx, positive_u, positive_i
+        return out, row_idx, positive_u, positive_i
 
 
 # --------------------------------------------------------------------------

@@ -55,13 +55,13 @@ def full_sort_eval_step(
     return topk_idx, rec_topk, pos_score
 
 
-@functools.partial(jax.jit, static_argnames=("n_users", "n_items", "top_k"))
-def sampled_eval_step(
+def sampled_topk_from_scores(
     origin_scores, row_idx, col_idx, valid, pos_u, pos_i, pos_w, n_users, n_items, top_k
 ):
-    """uni100-style top-k: scatter the sampled candidate scores into a
+    """uni100-style top-k math: scatter the sampled candidate scores into a
     device-resident [B, I] −inf matrix (row n_users is a scrap row for
-    padding) and rank (parity: trainer.py:441-456).
+    padding) and rank (parity: trainer.py:441-456). Plain traceable function
+    so callers can fuse it behind a model predict inside one jit.
     """
     scores = jnp.full((n_users + 1, n_items), -jnp.inf, dtype=origin_scores.dtype)
     safe_rows = jnp.where(valid > 0, row_idx, n_users)
@@ -77,3 +77,8 @@ def sampled_eval_step(
     rec_topk = jnp.concatenate([pos_hit, pos_len], axis=1)
     pos_score = scores[pos_u, pos_i]
     return topk_idx, rec_topk, pos_score
+
+
+sampled_eval_step = functools.partial(
+    jax.jit, static_argnames=("n_users", "n_items", "top_k")
+)(sampled_topk_from_scores)

@@ -96,10 +96,35 @@ class AbstractSampler:
 
     # ------------------------------------------------------------ vectorized
 
+    # key spaces up to this many BITS get a packed-bitmap membership table
+    # (ml-1M: 6040×3706 ≈ 22 Mbit = 2.8 MB); larger spaces keep the sorted
+    # searchsorted path
+    _BITMAP_MAX_BITS = 1 << 31
+
+    @classmethod
+    def _pack_used_bits(cls, keys: np.ndarray, total_bits: int):
+        """Sorted uint64 key array → packed uint8 bitmap (None if too big)."""
+        if total_bits > cls._BITMAP_MAX_BITS:
+            return None
+        bits = np.zeros((total_bits + 7) // 8, dtype=np.uint8)
+        np.bitwise_or.at(
+            bits,
+            (keys >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (keys & np.uint64(7)).astype(np.uint8)),
+        )
+        return bits
+
     def _membership(self, key_ids: np.ndarray, value_ids: np.ndarray) -> np.ndarray:
         """True where (key, value) is in the used set. ``self._used_keys``
-        must be a sorted uint64 array of ``key * stride + value``."""
+        must be a sorted uint64 array of ``key * stride + value``; when a
+        packed bitmap of the same set is available (``self._used_bits``)
+        the O(1)-per-probe bit test replaces the binary search — the hot
+        cost of host-side uni100 eval sampling."""
         keys = key_ids.astype(np.uint64) * np.uint64(self._stride) + value_ids.astype(np.uint64)
+        bits = getattr(self, "_used_bits", None)
+        if bits is not None:
+            probe = bits[(keys >> np.uint64(3)).astype(np.int64)]
+            return (probe >> (keys & np.uint64(7)).astype(np.uint8)) & np.uint8(1) != 0
         pos = np.searchsorted(self._used_keys, keys)
         pos = np.minimum(pos, len(self._used_keys) - 1) if len(self._used_keys) else pos
         if len(self._used_keys) == 0:
@@ -209,6 +234,13 @@ class Sampler(AbstractSampler):
         new_sampler = copy.copy(self)
         new_sampler.phase = phase
         new_sampler._used_keys = new_sampler.used_ids[phase]
+        if not hasattr(self, "_used_bits_by_phase"):
+            self._used_bits_by_phase = {}
+        if phase not in self._used_bits_by_phase:
+            self._used_bits_by_phase[phase] = self._pack_used_bits(
+                new_sampler._used_keys, self.user_num * self.item_num
+            )
+        new_sampler._used_bits = self._used_bits_by_phase[phase]
         return new_sampler
 
     def sample_by_user_ids(self, user_ids, item_ids, num):

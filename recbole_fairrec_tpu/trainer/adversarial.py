@@ -114,12 +114,14 @@ class PFCNTrainer(Trainer):
             self._load_best(model_file)
 
         kind = self._pick_eval_kind(eval_data)
+        pending = []
         for batched_data in self._macro_batches(eval_data, kind):
             if self.filter_mode != "none":
                 for sst_list in self._sst_subsets():
-                    self._collect_batch(kind, batched_data, sst_list)
+                    pending.append(self._collect_batch(kind, batched_data, sst_list))
             else:
-                self._collect_batch(kind, batched_data)
+                pending.append(self._collect_batch(kind, batched_data))
+        self._drain_collect(pending)
         self.eval_collector.model_collect(self.model)
         struct = self.eval_collector.get_data_struct()
         return self.evaluator.evaluate(struct)
@@ -163,15 +165,19 @@ class PFCNTrainer(Trainer):
         final_result = {}
         if self.filter_mode != "none":
             for sst_list in self._sst_subsets():
+                pending = []
                 for batched_data in self._macro_batches(eval_data, kind):
-                    self._collect_batch(kind, batched_data, sst_list)
+                    pending.append(self._collect_batch(kind, batched_data, sst_list))
+                self._drain_collect(pending)
                 self.eval_collector.model_collect(self.model)
                 struct = self.eval_collector.get_data_struct()
                 result = self.evaluator.evaluate(struct)
                 final_result[f'{self.config["filter_mode"]}-{list(sst_list)}'] = result
         else:
+            pending = []
             for batched_data in self._macro_batches(eval_data, kind):
-                self._collect_batch(kind, batched_data)
+                pending.append(self._collect_batch(kind, batched_data))
+            self._drain_collect(pending)
             self.eval_collector.model_collect(self.model)
             struct = self.eval_collector.get_data_struct()
             final_result[str(self.config["filter_mode"])] = self.evaluator.evaluate(struct)
