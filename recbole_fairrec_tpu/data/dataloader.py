@@ -359,6 +359,7 @@ class NegSampleEvalDataLoader(_NegSamplingLoader):
                 np.asarray(dataset.inter_feat[dataset.uid_field])
             )
             self.uid_list = self.segments.uid
+        self._expand_cache = {}
         super().__init__(config, dataset, sampler, shuffle=shuffle)
 
     def _init_batch_size_and_step(self):
@@ -379,6 +380,31 @@ class NegSampleEvalDataLoader(_NegSamplingLoader):
         )
         super().update_config(config)
 
+    def set_macro_rows(self, target_rows):
+        """Raise the cursor step so ONE batch holds as many whole users as
+        fit ``target_rows`` expanded rows. Called by the trainer's fused
+        eval path: per-user sampler draws and per-user metric math are
+        batch-size independent, so macro-sizing here removes thousands of
+        tiny slice/join/assembly rounds without touching the RNG stream or
+        the metric values. Users split into near-equal chunks so at most
+        two padded device shapes arise."""
+        if self.neg_spec.strategy != "by" or not len(self.segments):
+            return
+        rows = (self.segments.hi - self.segments.lo) * self.neg_spec.times
+        total = int(rows.sum())
+        n_chunks = max(1, -(-total // int(target_rows)))
+        step = -(-len(self.segments) // n_chunks)
+        worst = max(
+            int(rows[k : k + step].sum()) for k in range(0, len(rows), step)
+        )
+        if step != self.step:
+            self._expand_cache.clear()
+        self.step = step
+        self.set_batch_size(worst)
+        # batches are already dispatch-sized: the trainer's macro merger
+        # must pass them through instead of re-concatenating
+        self._macro_sized = True
+
     @property
     def pr_end(self):
         if self.neg_spec.strategy == "by":
@@ -396,19 +422,52 @@ class NegSampleEvalDataLoader(_NegSamplingLoader):
 
         j0, j1 = self.pr, min(self.pr + self.step, len(self.segments))
         lo, hi = self.segments.lo[j0:j1], self.segments.hi[j0:j1]
-        counts = (hi - lo).astype(np.int64)
-        base, end = int(lo[0]), int(hi[-1])
+        base = int(lo[0])
         times = self.neg_spec.times
         sample_num = self.neg_spec.sample_num
 
-        # One joined slice for the whole batch; negatives are still drawn
-        # with one sampler call per user IN USER ORDER (the numpy RNG
-        # stream is reference parity surface, general_dataloader.py:119-158)
-        # but the pointwise expansion is assembled batch-wide instead of
-        # per-user-block + cat (the former host hot spot of uni100 eval).
-        tbl = self.dataset[base:end]
-        users_all = np.asarray(tbl[self.uid_field])
-        items_all = np.asarray(tbl[self.iid_field])
+        # Layout parity with _NegSpec._pointwise: per user the positive
+        # block tiled `times` times, the item column of the copies
+        # rewritten with that user's draws, labels 1 for the first block.
+        # tiles[r] = local_start_u + (within-block index mod cnt_u), fully
+        # vectorized (no per-user tile+concat). Everything except the
+        # negative draws is a pure function of the (static) segment
+        # geometry, so the expansion skeleton is cached per batch window —
+        # repeated evaluates (every valid epoch) redo only the draws and
+        # the item column.
+        cache_key = (j0, j1, times)
+        skel = self._expand_cache.get(cache_key)
+        if skel is None:
+            counts = (hi - lo).astype(np.int64)
+            tbl = self.dataset[base : int(hi[-1])]  # one joined slice
+            users_all = np.asarray(tbl[self.uid_field])
+            items_all = np.asarray(tbl[self.iid_field])
+            rows_per_user = counts * times
+            total = int(rows_per_user.sum())
+            block_off = np.concatenate([[0], np.cumsum(rows_per_user)])[:-1]
+            within = np.arange(total) - np.repeat(block_off, rows_per_user)
+            cnt_rows = np.repeat(counts, rows_per_user)
+            tiles = np.repeat(lo - base, rows_per_user) + within % cnt_rows
+            fields = {k: np.asarray(v)[tiles] for k, v in tbl.interaction.items()}
+            labels = (within < cnt_rows).astype(np.float32)
+            local = np.arange(j1 - j0, dtype=np.int64)
+            skel = {
+                "fields": fields,
+                "labels": labels,
+                "neg_mask": within >= cnt_rows,
+                "users_all": users_all,
+                "items_all": items_all,
+                "row_idx": np.repeat(local, rows_per_user),
+                "positive_u": np.repeat(local, counts),
+                # rows are uid-sorted: the batch positives are the slice
+                "positive_i": items_all.astype(np.int64),
+            }
+            self._expand_cache[cache_key] = skel
+
+        # negatives are still drawn with one sampler call per user IN USER
+        # ORDER (the numpy RNG stream is reference parity surface,
+        # general_dataloader.py:119-158)
+        users_all, items_all = skel["users_all"], skel["items_all"]
         negs = [
             self.sampler.sample_by_user_ids(
                 users_all[int(l) - base : int(h) - base],
@@ -418,37 +477,19 @@ class NegSampleEvalDataLoader(_NegSamplingLoader):
             for l, h in zip(lo, hi)
         ]
 
-        # Layout parity with _NegSpec._pointwise: per user the positive
-        # block tiled `times` times, the item column of the copies
-        # rewritten with that user's draws, labels 1 for the first block.
-        tiles = np.concatenate(
-            [np.tile(np.arange(int(l) - base, int(h) - base), times)
-             for l, h in zip(lo, hi)]
-        )
-        fields = {k: np.asarray(v)[tiles] for k, v in tbl.interaction.items()}
-        item_col = fields[self.iid_field].copy()
-        rows_per_user = counts * times
-        total = int(rows_per_user.sum())
-        off = 0
-        for cnt, neg in zip(counts, negs):
-            item_col[off + cnt : off + cnt * times] = neg
-            off += cnt * times
+        fields = dict(skel["fields"])
+        item_col = skel["fields"][self.iid_field].copy()
+        item_col[skel["neg_mask"]] = np.concatenate(negs)
         fields[self.iid_field] = item_col
-        block_off = np.concatenate([[0], np.cumsum(rows_per_user)])[:-1]
-        within = np.arange(total) - np.repeat(block_off, rows_per_user)
-        labels = (within < np.repeat(counts, rows_per_user)).astype(np.float32)
         out = Interaction(fields)
-        out.update(Interaction({self.neg_spec.label_field: labels}))
-        out = self.dataset.join(out)
-
-        local = np.arange(j1 - j0, dtype=np.int64)
-        row_idx = np.repeat(local, rows_per_user)
-        positive_u = np.repeat(local, counts)
-        # rows are uid-sorted, so the batch's positives are one table slice
-        positive_i = items_all.astype(np.int64)
+        out.update(Interaction({self.neg_spec.label_field: skel["labels"]}))
+        if self.dataset.item_feat is not None:
+            # attach item features for the rewritten negative ids; when
+            # there are none, tbl's join already carried every feat column
+            out = self.dataset.join(out)
 
         self.pr += self.step
-        return out, row_idx, positive_u, positive_i
+        return out, skel["row_idx"], skel["positive_u"], skel["positive_i"]
 
 
 # --------------------------------------------------------------------------

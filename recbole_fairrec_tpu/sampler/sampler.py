@@ -114,13 +114,10 @@ class AbstractSampler:
         )
         return bits
 
-    def _membership(self, key_ids: np.ndarray, value_ids: np.ndarray) -> np.ndarray:
-        """True where (key, value) is in the used set. ``self._used_keys``
-        must be a sorted uint64 array of ``key * stride + value``; when a
-        packed bitmap of the same set is available (``self._used_bits``)
-        the O(1)-per-probe bit test replaces the binary search — the hot
-        cost of host-side uni100 eval sampling."""
-        keys = key_ids.astype(np.uint64) * np.uint64(self._stride) + value_ids.astype(np.uint64)
+    def _probe_keys(self, keys: np.ndarray) -> np.ndarray:
+        """Membership probe on packed ``key*stride+value`` uint64 keys; bit
+        test against the packed bitmap when available (the hot cost of
+        host-side uni100 eval sampling), else binary search."""
         bits = getattr(self, "_used_bits", None)
         if bits is not None:
             probe = bits[(keys >> np.uint64(3)).astype(np.int64)]
@@ -130,6 +127,12 @@ class AbstractSampler:
         if len(self._used_keys) == 0:
             return np.zeros(len(keys), dtype=bool)
         return self._used_keys[pos] == keys
+
+    def _membership(self, key_ids: np.ndarray, value_ids: np.ndarray) -> np.ndarray:
+        """True where (key, value) is in the used set. ``self._used_keys``
+        must be a sorted uint64 array of ``key * stride + value``."""
+        keys = key_ids.astype(np.uint64) * np.uint64(self._stride) + value_ids.astype(np.uint64)
+        return self._probe_keys(keys)
 
     def _group_violation(self, key_ids: np.ndarray, value_ids: np.ndarray) -> np.ndarray:
         """Fairness group constraint: a negative is illegal when its group
@@ -152,6 +155,22 @@ class AbstractSampler:
         key_ids = np.asarray(key_ids)
         key_num = len(key_ids)
         total_num = key_num * num
+        if (
+            self.user_group_label is None
+            and key_num
+            and (key_ids == key_ids[0]).all()
+        ):
+            # single-key fast path (uni100 eval: one call per user) — the
+            # packed key is a scalar offset; draw sequence is IDENTICAL to
+            # the general path (same sampling() calls in the same order)
+            base = np.uint64(int(key_ids[0]) * self._stride)
+            value_ids = self.sampling(total_num)
+            idx = np.nonzero(self._probe_keys(base + value_ids.astype(np.uint64)))[0]
+            while len(idx):
+                resampled = self.sampling(len(idx))
+                value_ids[idx] = resampled
+                idx = idx[self._probe_keys(base + resampled.astype(np.uint64))]
+            return value_ids.astype(np.int64)
         tiled_keys = np.tile(key_ids, num)
         value_ids = self.sampling(total_num)
         bad = self._membership(tiled_keys, value_ids) | self._group_violation(

@@ -140,6 +140,10 @@ class PFCNTrainer(Trainer):
             kind = "full"
         else:
             kind = "sampled"
+            if self._fused_eval_ok() and hasattr(eval_data, "set_macro_rows"):
+                eval_data.set_macro_rows(
+                    self._macro_rows_target()
+                )
             self._sampled_user_pad = eval_data.step
             self._eval_row_cap = eval_data.batch_size
         if self.config["eval_type"] == EvaluatorType.RANKING:

@@ -1041,7 +1041,13 @@ class Trainer(AbstractTrainer):
             # full mode (ml-1M uni100: 2 dispatches instead of 64 — the
             # per-dispatch tunnel RTT dominated the 15 s round-3 eval);
             # rows bound the host→device transfer per dispatch.
-            target_rows = self.config["eval_macro_rows_sampled"] or 8_388_608
+            target_rows = self._macro_rows_target()
+
+        if getattr(eval_data, "_macro_sized", False):
+            # the loader already emits dispatch-sized whole-user batches
+            # (set_macro_rows); re-merging would only copy the arrays
+            yield from eval_data
+            return
 
         buf = []
         acc_users = 0
@@ -1234,6 +1240,15 @@ class Trainer(AbstractTrainer):
             and self._retrieval_eval_capable()
         )
 
+    def _macro_rows_target(self):
+        """Sampled-eval row budget per dispatch. The pre-r3 key
+        ``eval_macro_rows`` is honored as a deprecated alias; the in-code
+        fallback matches the overall.yaml default."""
+        val = self.config["eval_macro_rows_sampled"]
+        if val is None:
+            val = self.config["eval_macro_rows"]
+        return val or 4_194_304
+
     @staticmethod
     def _drain_collect(pending):
         """Run deferred collector emits in batch order. A collect call may
@@ -1288,6 +1303,10 @@ class Trainer(AbstractTrainer):
                 self.item_tensor = eval_data.dataset.get_item_feature()
         else:
             kind = "sampled"
+            if self._fused_eval_ok() and hasattr(eval_data, "set_macro_rows"):
+                eval_data.set_macro_rows(
+                    self._macro_rows_target()
+                )
             self._sampled_user_pad = eval_data.step
             self._eval_row_cap = eval_data.batch_size
         if self.config["eval_type"] == EvaluatorType.RANKING:
