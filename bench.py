@@ -271,6 +271,175 @@ def bench_adversarial_epoch():
     return n_examples / dt, dt
 
 
+def bench_fairgo_finetune_epoch():
+    """examples/s through FairGoTrainer._train_epoch in the finetune stage
+    at ml-1M scale: one adversarial alternation epoch = filter pass
+    (MSE − w·dis over graph-propagated discriminators) + discriminator
+    pass — the only step in the framework containing the (|U|+|I|)-node
+    sparse propagation (ops/spmm.py; reference fairgo_pmf.py:190-236).
+    `load_pretrain_weight: True` enters the finetune stage directly
+    (timing is weight-independent). No reference timing exists; absolute
+    regression number (VERDICT r3 item 7)."""
+    from recbole_fairrec_tpu.config import Config
+    from recbole_fairrec_tpu.data import create_dataset, data_preparation
+    from recbole_fairrec_tpu.utils import get_model, get_trainer, init_seed
+
+    config = Config(
+        model="FairGo_PMF",
+        dataset=DS,
+        config_dict={
+            "data_path": _ensure_dataset(),
+            "load_col": {"inter": ["user_id", "item_id", "rating"],
+                         "user": ["user_id", "gender"]},
+            "sst_attr_list": ["gender"],
+            "embedding_size": EMB,
+            "n_layers": 2,
+            "aggr_method": "LBA",
+            "train_batch_size": 2048,
+            "metrics": ["NDCG"],
+            "topk": [10],
+            "valid_metric": "NDCG@10",
+            "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "RO",
+                          "group_by": "user", "mode": "full"},
+            "show_progress": False,
+            "save_dataset": True,
+            "checkpoint_dir": os.path.join(DATA_DIR, "saved"),
+        },
+    )
+    init_seed(config["seed"], config["reproducibility"])
+    dataset = create_dataset(config)
+    train_data, _, _ = data_preparation(config, dataset)
+    model = get_model(config["model"])(config, train_data.dataset)
+    trainer = get_trainer(None, "FairGo_PMF")(config, model)
+    # enter the finetune stage directly — timing is weight-independent and
+    # train_stage is static model state (part of every jit cache key)
+    model.train_stage = "finetune"
+    n_examples = len(train_data.dataset.inter_feat)
+    trainer._train_epoch(train_data, 0)  # warmup: compiles filter+dis scans
+    t0 = time.perf_counter()
+    epochs = 2
+    for e in range(epochs):
+        trainer._train_epoch(train_data, e)  # e%interval==0 → both passes
+    dt = (time.perf_counter() - t0) / epochs
+    return n_examples / dt, dt
+
+
+# TPU v5e (device_kind 'TPU v5 lite') nominal single-chip peaks.
+_CHIP_PEAKS = {
+    "TPU v5 lite": {"flops_bf16": 197e12, "flops_f32": 98.5e12, "hbm_gbps": 819.0},
+    "TPU v4": {"flops_bf16": 275e12, "flops_f32": 137.5e12, "hbm_gbps": 1228.0},
+    "TPU v5p": {"flops_bf16": 459e12, "flops_f32": 229.5e12, "hbm_gbps": 2765.0},
+}
+
+
+def bench_roofline(epoch_s, fullsort_s, uni100_s):
+    """Roofline accounting (VERDICT r3 item 8).
+
+    Two device-resident probes measure what this chip actually delivers
+    through this toolchain (a lax.scan chain amortizes the tunnel RTT out
+    of the measurement):
+      * MXU: K chained 4096² bf16 matmuls → achieved TFLOP/s;
+      * HBM: K chained elementwise passes over a 256 MB f32 buffer
+        (1 read + 1 write per element) → achieved GB/s.
+    Then each framework path's MODELED flop/byte demand at ml-1M scale is
+    divided by its measured wall time and expressed against both the
+    measured probe rates and the nominal chip peaks. At d=64 every path
+    is far below the compute roofline BY CONSTRUCTION (arithmetic
+    intensity ≈ 32 flop/byte for the eval matmul, «1 for embedding
+    training), so the binding side is HBM/host/tunnel, and the printed
+    ratios quantify exactly how much of the wall time is device work at
+    all."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return {}
+    kind = jax.devices()[0].device_kind
+    peaks = _CHIP_PEAKS.get(kind, {})
+
+    # --- MXU probe: chained bf16 matmuls, no host round-trips inside
+    N, K = 4096, 64
+    a = jnp.ones((N, N), jnp.bfloat16)
+    b = jnp.ones((N, N), jnp.bfloat16)
+
+    @jax.jit
+    def mxu_chain(a, b):
+        def body(x, _):
+            return jnp.dot(x, b, preferred_element_type=jnp.bfloat16), None
+        out, _ = jax.lax.scan(body, a, None, length=K)
+        return out
+
+    mxu_chain(a, b).block_until_ready()
+    t0 = time.perf_counter()
+    mxu_chain(a, b).block_until_ready()
+    mxu_dt = time.perf_counter() - t0
+    mxu_tflops = 2 * N * N * N * K / mxu_dt / 1e12
+
+    # --- HBM probe: chained full passes over a 256 MB buffer
+    M = 64 * 1024 * 1024  # f32 elements
+    v = jnp.ones((M,), jnp.float32)
+
+    @jax.jit
+    def hbm_chain(v):
+        def body(x, _):
+            return x * 1.0000001 + 1.0, None
+        out, _ = jax.lax.scan(body, v, None, length=K)
+        return out
+
+    hbm_chain(v).block_until_ready()
+    t0 = time.perf_counter()
+    hbm_chain(v).block_until_ready()
+    hbm_dt = time.perf_counter() - t0
+    hbm_gbps = 2 * 4 * M * K / hbm_dt / 1e9  # 1 read + 1 write per element
+
+    valid_users = N_USERS  # RS[8,1,1] grouped by user keeps every user
+    d = EMB
+
+    # --- modeled per-path demand at ml-1M scale
+    # e2e train epoch (BPR-MF, batch 2048, dense adam over both tables):
+    # per step ≈ 6×param-bytes (adam read/write p,m,v) + batch gathers.
+    steps = N_INTER // 2048
+    p_bytes = (N_USERS + N_ITEMS + 2) * d * 4
+    train_bytes = steps * (6 * p_bytes + 2048 * 3 * d * 4 * 2)
+    train_flops = steps * 2048 * (2 * 2 * d)  # pos+neg dot products, fwd+bwd
+    # full-sort eval: U·Iᵀ matmul + [U, I] matrix write/read for top-k
+    eval_flops = 2 * valid_users * N_ITEMS * d
+    eval_bytes = valid_users * N_ITEMS * 4 * 2
+    # uni100: ~N_INTER/10 positives ×101 rows, 1 dot each + scatter matrix
+    uni_rows = int(N_INTER * 0.1) * 101
+    uni_flops = uni_rows * 2 * d
+    uni_bytes = uni_rows * (2 * d * 4) + valid_users * N_ITEMS * 4 * 2
+
+    def path(name, flops, byts, wall):
+        ach_tf = flops / wall / 1e12
+        ach_gb = byts / wall / 1e9
+        return {
+            f"roofline_{name}_achieved_tflops": round(ach_tf, 4),
+            f"roofline_{name}_achieved_hbm_gbps": round(ach_gb, 2),
+            f"roofline_{name}_pct_of_measured_hbm": round(100 * ach_gb / hbm_gbps, 2),
+        }
+
+    out = {
+        "chip": kind,
+        "mxu_probe_tflops_bf16": round(mxu_tflops, 1),
+        "hbm_probe_gbps": round(hbm_gbps, 1),
+    }
+    if peaks:
+        out["mxu_probe_pct_of_nominal"] = round(100 * mxu_tflops * 1e12 / peaks["flops_bf16"], 1)
+        out["hbm_probe_pct_of_nominal"] = round(100 * hbm_gbps / peaks["hbm_gbps"], 1)
+    out.update(path("train_epoch", train_flops, train_bytes, epoch_s))
+    out.update(path("fullsort_eval", eval_flops, eval_bytes, fullsort_s))
+    out.update(path("uni100_eval", uni_flops, uni_bytes, uni100_s))
+    # which side binds: d=64 keeps arithmetic intensity at or below
+    # ~32 flop/byte (< the chip's ~240 flop/byte compute:BW balance), so
+    # HBM is the device-side roofline for every path; the achieved-HBM
+    # percentages above show how far each path sits below even that —
+    # the remainder is host pipeline + ~75 MB/s tunnel transfers + RTT,
+    # not device limits.
+    out["roofline_binding_side"] = "hbm/host-tunnel (d=64 => AI <= ~32 flop/B)"
+    return out
+
+
 def bench_pallas_topk():
     """Fused Pallas top-k vs dense matmul+lax.top_k: exactness + latency."""
     import jax
@@ -333,6 +502,10 @@ def main():
     uni100_users_s, uni100_dt = bench_uni100_eval()
     _stage("adversarial (cm) train epoch")
     adv_ex_s, adv_dt = bench_adversarial_epoch()
+    _stage("fairgo finetune epoch (sparse propagation)")
+    fairgo_ex_s, fairgo_dt = bench_fairgo_finetune_epoch()
+    _stage("roofline probes + accounting")
+    roofline = bench_roofline(epoch_s, dense_dt, uni100_dt)
     _stage("pallas top-k exactness")
     pallas_exact, pallas_ms, dense_ms = bench_pallas_topk()
 
@@ -354,6 +527,9 @@ def main():
         "uni100_eval_s": round(uni100_dt, 3),
         "adv_train_epoch_examples_per_s": round(adv_ex_s, 1),
         "adv_train_epoch_s": round(adv_dt, 3),
+        "fairgo_finetune_epoch_examples_per_s": round(fairgo_ex_s, 1),
+        "fairgo_finetune_epoch_s": round(fairgo_dt, 3),
+        **roofline,
         "pallas_topk_exact": pallas_exact,
         "pallas_topk_ms": None if pallas_ms is None else round(pallas_ms, 3),
         "dense_topk_ms": None if dense_ms is None else round(dense_ms, 3),

@@ -136,6 +136,16 @@ class FairRecommender(AbstractRecommender):
         """Discriminator objective for adversarial models."""
         raise NotImplementedError
 
+    # Derived device-resident constants carried in MODEL STATE (e.g.
+    # FairGo's dense propagation matrix): attach merges them in at init /
+    # checkpoint load; strip removes them before serialization. Base
+    # models carry none.
+    def attach_state_constants(self, state):
+        return state
+
+    def strip_state_constants(self, state):
+        return state
+
     def lookup(self, table, ids):
         """Embedding-table row lookup.
 

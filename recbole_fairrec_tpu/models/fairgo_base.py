@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.spmm import build_bipartite_norm_coo, spmm_coo
+from ..ops.spmm import build_bipartite_norm_coo, coo_to_dense, propagate
 from ..utils import InputType
 from .base import FairRecommender, batch_weights, wmean
 from .layers import apply_linear, apply_mlp, init_embedding, init_linear, init_mlp
@@ -46,6 +46,7 @@ class FairGoBase(FairRecommender):
         self.fair_weight = config["fair_weight"]
         self.load_pretrain_weight = config["load_pretrain_weight"]
         self.train_stage = None  # set by FairGoTrainer
+        self._consts_cache = None
         self.aggr_method = config["aggr_method"].upper()
         if config["vs_weights"] is not None:
             vs = np.asarray(config["vs_weights"], dtype=np.float32)
@@ -74,6 +75,15 @@ class FairGoBase(FairRecommender):
         # D⁻¹A propagation matrix (static COO arrays)
         self.norm_rows, self.norm_cols, self.norm_vals = build_bipartite_norm_coo(
             self.rating_matrix, self.n_users, self.n_items
+        )
+        # Dense-propagation gate: auto-enable while the [n, n] f32 matrix
+        # stays under ~2 GB (ml-1M: 374 MB). The matrix lives in MODEL
+        # STATE so it reaches jitted losses as a traced argument (see
+        # ops/spmm.propagate); checkpoints store state without it.
+        n_nodes = self.n_users + self.n_items
+        cfg_dense = config["dense_propagation"]
+        self.dense_propagation = bool(
+            n_nodes * n_nodes * 4 <= (2 << 30) if cfg_dense is None else cfg_dense
         )
 
     # ---------------------------------------------------------------- params
@@ -122,10 +132,34 @@ class FairGoBase(FairRecommender):
             "l3": init_linear(r3, d, d, "torch_linear"),
         }
         params.update(self._extra_params(keys[-2]))
-        return params, {}
+        return params, self.attach_state_constants({})
 
     def _extra_params(self, rng):
         return {}
+
+    _STATE_CONSTANT_KEYS = ("prop_dense", "gcn_dense")
+
+    def _state_constants(self):
+        if self.dense_propagation:
+            n = self.n_users + self.n_items
+            return {
+                "prop_dense": jnp.asarray(
+                    coo_to_dense(self.norm_rows, self.norm_cols, self.norm_vals, n)
+                )
+            }
+        return {}
+
+    def attach_state_constants(self, state):
+        """Merge the derived propagation constants into a state pytree
+        (at init and after checkpoint load; checkpoints store state
+        without them)."""
+        if self._consts_cache is None:
+            self._consts_cache = self._state_constants()
+        return {**self._consts_cache, **state}
+
+    def strip_state_constants(self, state):
+        return {k: v for k, v in state.items()
+                if k not in self._STATE_CONSTANT_KEYS}
 
     def param_groups(self):
         """Reference FairGo_*Trainer (:837-862): pretrain = backbone;
@@ -143,14 +177,14 @@ class FairGoBase(FairRecommender):
 
     # --------------------------------------------------------------- forward
 
-    def _ego_embeddings(self, params, train, rng):
+    def _ego_embeddings(self, params, state, train, rng):
         """Backbone representation of all U+I nodes (stage-aware)."""
         return jnp.concatenate(
             [params["user_embedding"], params["item_embedding"]], axis=0
         )
 
     def forward(self, params, state, sst_list=None, train=False, rng=None):
-        all_embedding = self._ego_embeddings(params, train, rng)
+        all_embedding = self._ego_embeddings(params, state, train, rng)
         if self.train_stage == "finetune":
             if not sst_list:
                 sst_list = tuple(self.sst_attrs)
@@ -195,12 +229,13 @@ class FairGoBase(FairRecommender):
         w = batch_weights(batch, user_node[:, 0])
 
         all_emb = jnp.concatenate([user_all, item_all], axis=0)
+        dense = state.get("prop_dense") if isinstance(state, dict) else None
         hops = []
         x = all_emb
         for _ in range(self.n_layers):
-            x = spmm_coo(
-                self.norm_rows, self.norm_cols, self.norm_vals, x,
-                self.n_users + self.n_items,
+            x = propagate(
+                x, self.norm_rows, self.norm_cols, self.norm_vals,
+                self.n_users + self.n_items, dense=dense,
             )
             hops.append(x)
 

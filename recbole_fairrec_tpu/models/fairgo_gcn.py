@@ -39,14 +39,27 @@ class FairGo_GCN(FairGoBase):
     def _backbone_param_keys(self):
         return ["user_embedding", "item_embedding", "gcn"]
 
-    def _ego_embeddings(self, params, train, rng):
+    def _ego_embeddings(self, params, state, train, rng):
         all_embedding = jnp.concatenate(
             [params["user_embedding"], params["item_embedding"]], axis=0
         )
         if self.train_stage == "pretrain":
+            dense = state.get("gcn_dense") if isinstance(state, dict) else None
             all_embedding = apply_gcn(
                 params["gcn"], all_embedding,
                 self.gcn_rows, self.gcn_cols, self.gcn_vals,
                 act=self.gcn_act, dropout=self.gcn_dropout, train=train, rng=rng,
+                dense=dense,
             )
         return all_embedding
+
+    def _state_constants(self):
+        consts = super()._state_constants()
+        if self.dense_propagation:
+            from ..ops.spmm import coo_to_dense
+
+            n = self.n_users + self.n_items
+            consts["gcn_dense"] = jnp.asarray(
+                coo_to_dense(self.gcn_rows, self.gcn_cols, self.gcn_vals, n)
+            )
+        return consts

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.spmm import spmm_coo
+from ..ops.spmm import propagate
 from .layers import apply_activation, xavier_uniform
 
 
@@ -34,13 +34,14 @@ def init_gcn(rng, in_channels, hidden_channels, out_channels, num_layers):
     return {"convs": layers}
 
 
-def apply_gcn(params, x, rows, cols, vals, *, act="relu", dropout=0.0, train=False, rng=None):
+def apply_gcn(params, x, rows, cols, vals, *, act="relu", dropout=0.0, train=False,
+              rng=None, dense=None):
     n = x.shape[0]
     n_layers = len(params["convs"])
     use_dropout = train and dropout > 0.0 and rng is not None
     rngs = jax.random.split(rng, n_layers) if use_dropout else [None] * n_layers
     for i, conv in enumerate(params["convs"]):
-        x = spmm_coo(rows, cols, vals, x @ conv["w"], n) + conv["b"]
+        x = propagate(x @ conv["w"], rows, cols, vals, n, dense=dense) + conv["b"]
         if i < n_layers - 1:
             x = apply_activation(act, x)
             if use_dropout:

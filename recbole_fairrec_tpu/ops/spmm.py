@@ -22,6 +22,31 @@ def spmm_coo(rows, cols, vals, dense, n_rows):
     return jax.ops.segment_sum(gathered, rows, num_segments=n_rows)
 
 
+def coo_to_dense(rows, cols, vals, n):
+    """COO arrays → dense float32 [n, n] numpy matrix (host-side)."""
+    A = np.zeros((n, n), dtype=np.float32)
+    A[np.asarray(rows), np.asarray(cols)] = np.asarray(vals)
+    return A
+
+
+def propagate(x, rows, cols, vals, n, dense=None):
+    """One propagation hop: A @ x.
+
+    TPU's XLA lowers the COO segment-sum as a serialized scatter-add
+    (~16 ms for ml-1M's 1.35 M edges) while the same product as a dense
+    f32 matmul rides the MXU in ~2 ms — and at d=64 the whole framework is
+    bandwidth-bound anyway, so the 374 MB dense matrix costs one HBM pass.
+    ``precision='highest'`` keeps full f32 accumulation: max|Δ| vs the
+    segment-sum is ~2e-6 (float reassociation only). The dense matrix must
+    arrive as a traced ARGUMENT (e.g. through model state) — as a closure
+    constant it would be inlined into the HLO and rejected by the remote
+    compiler.
+    """
+    if dense is not None:
+        return jnp.dot(dense, x, precision="highest")
+    return spmm_coo(rows, cols, vals, x, n)
+
+
 def build_bipartite_norm_coo(rating_coo: sp.coo_matrix, n_users: int, n_items: int):
     """Row-normalized (D⁻¹A) bipartite rating matrix as COO arrays.
 

@@ -585,7 +585,9 @@ class Trainer(AbstractTrainer):
             "cur_step": self.cur_step,
             "best_valid_score": self.best_valid_score,
             "params": jax.tree_util.tree_map(np.asarray, self.params),
-            "model_state": jax.tree_util.tree_map(np.asarray, self.model_state),
+            "model_state": jax.tree_util.tree_map(
+                np.asarray, self.model.strip_state_constants(self.model_state)
+            ),
             "other_parameter": self.model.other_parameter(),
             "optimizer": jax.tree_util.tree_map(np.asarray, self.opt_state),
         }
@@ -599,7 +601,9 @@ class Trainer(AbstractTrainer):
 
     def _load_params_from_checkpoint(self, checkpoint):
         self.params = jax.tree_util.tree_map(jnp.asarray, checkpoint["params"])
-        self.model_state = jax.tree_util.tree_map(jnp.asarray, checkpoint.get("model_state", {}))
+        self.model_state = self.model.attach_state_constants(
+            jax.tree_util.tree_map(jnp.asarray, checkpoint.get("model_state", {}))
+        )
         self.model.load_other_parameter(checkpoint.get("other_parameter"))
 
     def resume_checkpoint(self, resume_file):
