@@ -40,35 +40,33 @@ class Dataset:
     # ------------------------------------------------------------------ load
 
     def _from_scratch(self):
-        self._get_preset()
-        self._get_field_from_config()
-        self._load_data(self.dataset_name, self.dataset_path)
+        self._init_schema()
+        self._bind_id_fields()
+        self._load_atomic_files(self.dataset_name, self.dataset_path)
         self._init_alias()
-        self._data_processing()
+        self._run_etl()
 
-    def _get_preset(self):
-        self.dataset_path = self.config["data_path"]
-        self.field2type = {}
-        self.field2source = {}
-        self.field2id_token = {}
-        self.field2token_id = {}
-        self.field2seqlen = self.config["seq_len"] or {}
-        self.alias = {}
-        self._preloaded_weight = {}
-        self.benchmark_filename_list = self.config["benchmark_filename"]
+    def _init_schema(self):
+        cfg = self.config
+        self.dataset_path = cfg["data_path"]
+        # per-field metadata registries (the reference's field2* contract)
+        self.field2type, self.field2source = {}, {}
+        self.field2id_token, self.field2token_id = {}, {}
+        self.field2seqlen = cfg["seq_len"] or {}
+        self.alias, self._preloaded_weight = {}, {}
+        self.benchmark_filename_list = cfg["benchmark_filename"]
 
-    def _get_field_from_config(self):
-        self.uid_field = self.config["USER_ID_FIELD"]
-        self.iid_field = self.config["ITEM_ID_FIELD"]
-        self.label_field = self.config["LABEL_FIELD"]
-        self.time_field = self.config["TIME_FIELD"]
+    def _bind_id_fields(self):
+        cfg = self.config
+        self.uid_field, self.iid_field = cfg["USER_ID_FIELD"], cfg["ITEM_ID_FIELD"]
+        self.label_field, self.time_field = cfg["LABEL_FIELD"], cfg["TIME_FIELD"]
         if (self.uid_field is None) ^ (self.iid_field is None):
             raise ValueError(
                 "USER_ID_FIELD and ITEM_ID_FIELD need to be set at the same time "
                 "or not set at the same time."
             )
 
-    def _load_data(self, token, dataset_path):
+    def _load_atomic_files(self, token, dataset_path):
         if not os.path.exists(dataset_path):
             raise FileNotFoundError(
                 f"dataset path [{dataset_path}] does not exist; automatic download "
@@ -99,7 +97,7 @@ class Dataset:
             raise ValueError("uid_field must be set when user_feat exists")
         if self.item_feat is not None and self.iid_field is None:
             raise ValueError("iid_field must be set when item_feat exists")
-        self._load_additional_feat(token, dataset_path)
+        self._load_extra_suffixes(token, dataset_path)
 
     def _maybe_load(self, token, dataset_path, source, suffix):
         path = os.path.join(dataset_path, f"{token}.{suffix}")
@@ -110,7 +108,7 @@ class Dataset:
             self.logger.warning(f"No columns loaded from {path}")
         return feat
 
-    def _load_additional_feat(self, token, dataset_path):
+    def _load_extra_suffixes(self, token, dataset_path):
         """Arbitrary extra atomic files, e.g. ``.item_emb`` preload tables
         (reference :328-350)."""
         if self.config["additional_feat_suffix"] is None:
@@ -123,7 +121,7 @@ class Dataset:
                 raise ValueError(f"Additional feature file [{path}] not found.")
             setattr(self, f"{suf}_feat", self._load_feat(path, suf))
 
-    def _get_load_and_unload_col(self, source):
+    def _column_selection(self, source):
         if isinstance(source, FeatureSource):
             source = source.value
         load_cols = unload_cols = None
@@ -145,7 +143,7 @@ class Dataset:
 
     def _load_feat(self, filepath, source):
         """Read a headered TSV into a DataFrame (reference :385-454)."""
-        load_col, unload_col = self._get_load_and_unload_col(source)
+        load_col, unload_col = self._column_selection(source)
         if load_col == set():
             return None
 
@@ -154,25 +152,29 @@ class Dataset:
         with open(filepath, "r", encoding=encoding) as f:
             head = f.readline().rstrip("\n")
 
-        columns, usecols, dtype = [], [], {}
-        for field_type in head.split(sep):
-            field, ftype_str = field_type.split(":")
+        selected = []  # (bare field name, raw header cell, FeatureType)
+        for cell in head.split(sep):
+            field, ftype_str = cell.split(":")
             try:
                 ftype = FeatureType(ftype_str)
             except ValueError:
                 raise ValueError(f"Type {ftype_str} from field {field} is not supported.")
-            if load_col is not None and field not in load_col:
-                continue
-            if unload_col is not None and field in unload_col:
+            skip = (load_col is not None and field not in load_col) or (
+                unload_col is not None and field in unload_col
+            )
+            if skip:
                 continue
             if isinstance(source, FeatureSource) or source != "link":
-                self.field2source[field] = source
-                self.field2type[field] = ftype
-                if not ftype.value.endswith("seq"):
-                    self.field2seqlen[field] = 1
-            columns.append(field)
-            usecols.append(field_type)
-            dtype[field_type] = np.float64 if ftype == FeatureType.FLOAT else str
+                register = {field: (ftype, source)}
+                for f, (ft, src) in register.items():
+                    self.field2type[f], self.field2source[f] = ft, src
+                    if not ftype.value.endswith("seq"):
+                        self.field2seqlen[f] = 1
+            selected.append((field, cell, ftype))
+        columns = [f for f, _, _ in selected]
+        usecols = [c for _, c, _ in selected]
+        dtype = {c: (np.float64 if ft == FeatureType.FLOAT else str)
+                 for _, c, ft in selected}
 
         if not columns:
             self.logger.warning(f"No columns have been loaded from [{source}]")
@@ -225,15 +227,15 @@ class Dataset:
 
     # ----------------------------------------------------------------- alias
 
-    def _set_alias(self, alias_name, default_value):
-        alias = self.config[f"alias_of_{alias_name}"] or []
-        alias = np.array(list(filter(None, default_value)) + alias)
-        _, idx = np.unique(alias, return_index=True)
-        self.alias[alias_name] = alias[np.sort(idx)]
+    def _register_alias(self, alias_name, default_value):
+        configured = self.config[f"alias_of_{alias_name}"] or []
+        merged = np.array([f for f in default_value if f] + list(configured))
+        _, first_pos = np.unique(merged, return_index=True)
+        self.alias[alias_name] = merged[np.sort(first_pos)]  # appearance order
 
     def _init_alias(self):
-        self._set_alias("user_id", [self.uid_field])
-        self._set_alias("item_id", [self.iid_field])
+        self._register_alias("user_id", [self.uid_field])
+        self._register_alias("item_id", [self.iid_field])
         for n1, a1 in self.alias.items():
             for n2, a2 in self.alias.items():
                 if n1 != n2 and len(np.intersect1d(a1, a2, assume_unique=True)):
@@ -247,56 +249,51 @@ class Dataset:
 
     # ------------------------------------------------------------ processing
 
-    def _data_processing(self):
-        self.feat_name_list = self._build_feat_name_list()
+    def _run_etl(self):
+        self.feat_name_list = list(self._collect_feat_names())
         if self.benchmark_filename_list is None:
-            self._data_filtering()
-        self._remap_ID_all()
-        self._user_item_feat_preparation()
+            self._apply_filters()
+        self._remap_all_ids()
+        self._reindex_entity_feats()
         self._fill_nan()
-        self._set_label_by_threshold()
+        self._binarize_label()
         self._normalize()
-        self._preload_weight_matrix()
+        self._stage_preload_weights()
 
-    def _build_feat_name_list(self):
-        names = [
-            n for n in ["inter_feat", "user_feat", "item_feat"]
-            if getattr(self, n, None) is not None
+    def _collect_feat_names(self):
+        candidates = ["inter_feat", "user_feat", "item_feat"] + [
+            f"{suf}_feat" for suf in (self.config["additional_feat_suffix"] or [])
         ]
-        if self.config["additional_feat_suffix"] is not None:
-            names += [
-                f"{suf}_feat"
-                for suf in self.config["additional_feat_suffix"]
-                if getattr(self, f"{suf}_feat", None) is not None
-            ]
-        return names
+        return [n for n in candidates if getattr(self, n, None) is not None]
 
-    def _data_filtering(self):
-        self._filter_nan_user_or_item()
-        self._remove_duplication()
-        self._filter_by_field_value()
-        self._filter_inter_by_user_or_item()
-        self._filter_by_inter_num()
+    def _apply_filters(self):
+        self._drop_nan_ids()
+        self._dedup_inters()
+        self._apply_value_intervals()
+        self._restrict_to_known_entities()
+        self._kcore_filter()
         self._reset_index()
 
-    def _filter_nan_user_or_item(self):
+    def _drop_nan_ids(self):
         for field, name in zip([self.uid_field, self.iid_field], ["user", "item"]):
             feat = getattr(self, f"{name}_feat")
             if feat is not None:
-                dropped = feat.index[feat[field].isnull()]
-                if len(dropped):
-                    feat.drop(dropped, inplace=True)
+                nan_rows = feat.index[feat[field].isnull()]
+                if len(nan_rows):
+                    feat.drop(nan_rows, inplace=True)
             if field is not None:
-                dropped = self.inter_feat.index[self.inter_feat[field].isnull()]
-                if len(dropped):
-                    self.inter_feat.drop(dropped, inplace=True)
+                nan_rows = self.inter_feat.index[self.inter_feat[field].isnull()]
+                if len(nan_rows):
+                    self.inter_feat.drop(nan_rows, inplace=True)
 
-    def _remove_duplication(self):
+    def _dedup_inters(self):
         keep = self.config["rm_dup_inter"]
         if keep is None:
             return
         if self.time_field in self.inter_feat:
-            self.inter_feat.sort_values(by=[self.time_field], ascending=True, inplace=True)
+            self.inter_feat.sort_values(
+                by=[self.time_field], ascending=True, inplace=True
+            )
         self.inter_feat.drop_duplicates(
             subset=[self.uid_field, self.iid_field], keep=keep, inplace=True
         )
@@ -325,7 +322,7 @@ class Dataset:
             result = ok if result is None else (result | ok)
         return result if result is not None else True
 
-    def _filter_by_field_value(self):
+    def _apply_value_intervals(self):
         val_intervals = self.config["val_interval"] or {}
         for field, interval in val_intervals.items():
             if field not in self.field2type:
@@ -337,21 +334,22 @@ class Dataset:
                     feat.drop(feat.index[~keep], inplace=True)
             else:
                 for feat in self.field2feats(field):
-                    feat.drop(feat.index[~feat[field].isin(interval)], inplace=True)
+                    outside = ~feat[field].isin(interval)
+                    feat.drop(feat.index[outside], inplace=True)
 
-    def _filter_inter_by_user_or_item(self):
+    def _restrict_to_known_entities(self):
         if self.config["filter_inter_by_user_or_item"] is not True:
             return
-        remained = pd.Series(True, index=self.inter_feat.index)
-        if self.user_feat is not None:
-            remained &= self.inter_feat[self.uid_field].isin(self.user_feat[self.uid_field].values)
-        if self.item_feat is not None:
-            remained &= self.inter_feat[self.iid_field].isin(self.item_feat[self.iid_field].values)
-        self.inter_feat.drop(self.inter_feat.index[~remained], inplace=True)
+        keep = pd.Series(True, index=self.inter_feat.index)
+        for feat, key in ((self.user_feat, self.uid_field),
+                          (self.item_feat, self.iid_field)):
+            if feat is not None:
+                keep &= self.inter_feat[key].isin(feat[key].values)
+        self.inter_feat.drop(self.inter_feat.index[~keep], inplace=True)
 
-    def _filter_by_inter_num(self):
+    def _kcore_filter(self):
         """Iterative k-core filtering (reference :670-760)."""
-        if self.uid_field is None or self.iid_field is None:
+        if None in (self.uid_field, self.iid_field):
             return
         user_interval = self._parse_intervals_str(self.config["user_inter_num_interval"])
         item_interval = self._parse_intervals_str(self.config["item_inter_num_interval"])
@@ -381,11 +379,11 @@ class Dataset:
                 drop = self.item_feat[self.iid_field].isin(ban_items)
                 self.item_feat.drop(self.item_feat.index[drop], inplace=True)
 
-            user_inter = self.inter_feat[self.uid_field]
-            item_inter = self.inter_feat[self.iid_field]
-            dropped = user_inter.isin(ban_users) | item_inter.isin(ban_items)
-            user_inter_num -= Counter(user_inter[dropped].values)
-            item_inter_num -= Counter(item_inter[dropped].values)
+            u_col, i_col = (self.inter_feat[self.uid_field],
+                            self.inter_feat[self.iid_field])
+            dropped = u_col.isin(ban_users) | i_col.isin(ban_items)
+            user_inter_num -= Counter(u_col[dropped].values)
+            item_inter_num -= Counter(i_col[dropped].values)
             self.inter_feat.drop(self.inter_feat.index[dropped], inplace=True)
 
     def _illegal_ids(self, field, feat, inter_num, interval):
@@ -404,60 +402,62 @@ class Dataset:
         for name in self.feat_name_list:
             feat = getattr(self, name)
             if feat.empty:
-                raise ValueError("Some feat is empty, please check the filtering settings.")
+                raise ValueError(
+                    "Some feat is empty, please check the filtering settings."
+                )
             feat.reset_index(drop=True, inplace=True)
 
     # ----------------------------------------------------------------- remap
 
-    def _remap_ID_all(self):
+    def _remap_all_ids(self):
         for alias in self.alias.values():
-            self._remap(self._get_remap_list(alias))
+            self._factorize_remap(self._remap_targets(alias))
         for field in self._rest_fields:
-            self._remap(self._get_remap_list(np.array([field])))
+            self._factorize_remap(self._remap_targets(np.array([field])))
 
-    def _get_remap_list(self, field_list):
-        remap_list = []
-        for field in field_list:
-            ftype = self.field2type[field]
-            for feat in self.field2feats(field):
-                remap_list.append((feat, field, ftype))
-        return remap_list
+    def _remap_targets(self, field_list):
+        return [
+            (feat, field, self.field2type[field])
+            for field in field_list
+            for feat in self.field2feats(field)
+        ]
 
-    def _remap(self, remap_list):
+    def _factorize_remap(self, remap_list):
         """pd.factorize remap with [PAD]=0 (reference :952-974)."""
         if not remap_list:
             return
-        tokens = []
+        flat_chunks = []
         for feat, field, ftype in remap_list:
+            col = feat[field].values
             if ftype == FeatureType.TOKEN:
-                tokens.append(feat[field].values)
+                flat_chunks.append(col)
             elif ftype == FeatureType.TOKEN_SEQ:
-                tokens.append(np.concatenate(list(feat[field].values)) if len(feat) else np.array([]))
-        split_point = np.cumsum(list(map(len, tokens)))[:-1]
-        tokens = np.concatenate(tokens)
-        new_ids, mp = pd.factorize(tokens)
-        new_ids_list = np.split(new_ids + 1, split_point)
-        mp = np.array(["[PAD]"] + list(mp))
-        token_id = {t: i for i, t in enumerate(mp)}
+                flat_chunks.append(
+                    np.concatenate(list(col)) if len(feat) else np.array([])
+                )
+        chunk_bounds = np.cumsum([len(c) for c in flat_chunks])[:-1]
+        codes, vocab = pd.factorize(np.concatenate(flat_chunks))
+        per_target = np.split(codes + 1, chunk_bounds)  # shift: [PAD] takes 0
+        vocab = np.array(["[PAD]", *vocab])
+        lookup = {tok: i for i, tok in enumerate(vocab)}
 
-        for (feat, field, ftype), ids in zip(remap_list, new_ids_list):
-            if field not in self.field2id_token:
-                self.field2id_token[field] = mp
-                self.field2token_id[field] = token_id
+        for (feat, field, ftype), ids in zip(remap_list, per_target):
+            self.field2id_token.setdefault(field, vocab)
+            self.field2token_id.setdefault(field, lookup)
             if ftype == FeatureType.TOKEN:
                 feat[field] = ids
             elif ftype == FeatureType.TOKEN_SEQ:
-                sp_point = np.cumsum(feat[field].agg(len))[:-1]
-                feat[field] = np.split(ids, sp_point)
+                row_bounds = np.cumsum(feat[field].agg(len))[:-1]
+                feat[field] = np.split(ids, row_bounds)
 
-    def _user_item_feat_preparation(self):
+    def _reindex_entity_feats(self):
         """Reindex user/item feats over the full [0, num) id range."""
-        if self.user_feat is not None:
-            new_df = pd.DataFrame({self.uid_field: np.arange(self.user_num)})
-            self.user_feat = pd.merge(new_df, self.user_feat, on=self.uid_field, how="left")
-        if self.item_feat is not None:
-            new_df = pd.DataFrame({self.iid_field: np.arange(self.item_num)})
-            self.item_feat = pd.merge(new_df, self.item_feat, on=self.iid_field, how="left")
+        for attr, key, count in (("user_feat", self.uid_field, self.user_num),
+                                 ("item_feat", self.iid_field, self.item_num)):
+            feat = getattr(self, attr)
+            if feat is not None:
+                full_range = pd.DataFrame({key: np.arange(count)})
+                setattr(self, attr, pd.merge(full_range, feat, on=key, how="left"))
 
     def _fill_nan(self):
         for name in self.feat_name_list:
@@ -474,7 +474,7 @@ class Dataset:
                         lambda x: np.array([], dtype=dtype) if isinstance(x, float) else x
                     )
 
-    def _set_label_by_threshold(self):
+    def _binarize_label(self):
         threshold = self.config["threshold"]
         if threshold is None:
             return
@@ -518,7 +518,7 @@ class Dataset:
                     split_point = np.cumsum(feat[field].agg(len))[:-1]
                     feat[field] = np.split(normed, split_point)
 
-    def _preload_weight_matrix(self):
+    def _stage_preload_weights(self):
         preload_fields = self.config["preload_weight"]
         if preload_fields is None:
             return
@@ -548,30 +548,21 @@ class Dataset:
         if field not in self.field2source:
             raise ValueError(f"Field [{field}] not defined in dataset.")
         source = self.field2source[field]
-        if field == self.uid_field:
-            feats = [self.inter_feat]
-            if self.user_feat is not None:
-                feats.append(self.user_feat)
-        elif field == self.iid_field:
-            feats = [self.inter_feat]
-            if self.item_feat is not None:
-                feats.append(self.item_feat)
-        else:
-            src = source.value if isinstance(source, FeatureSource) else source
-            name = "inter_feat" if src == "inter" else f"{src}_feat"
-            feats = [getattr(self, name)]
-        return feats
+        entity_feat = {self.uid_field: self.user_feat,
+                       self.iid_field: self.item_feat}.get(field)
+        if field in (self.uid_field, self.iid_field):
+            return ([self.inter_feat, entity_feat] if entity_feat is not None
+                    else [self.inter_feat])
+        src = source.value if isinstance(source, FeatureSource) else source
+        return [getattr(self, "inter_feat" if src == "inter" else f"{src}_feat")]
 
     def fields(self, ftype=None, source=None):
         ftype = set(ftype) if ftype is not None else set(FeatureType)
         source = set(source) if source is not None else set(
             list(FeatureSource) + [s for s in self.field2source.values() if isinstance(s, str)]
         )
-        return [
-            field
-            for field in self.field2type
-            if self.field2type[field] in ftype and self.field2source[field] in source
-        ]
+        return [f for f, ft in self.field2type.items()
+                if ft in ftype and self.field2source[f] in source]
 
     @property
     def float_like_fields(self):
@@ -582,87 +573,79 @@ class Dataset:
         return self.fields(ftype=[FeatureType.TOKEN, FeatureType.TOKEN_SEQ])
 
     def set_field_property(self, field, field_type, field_source, field_seqlen):
-        self.field2type[field] = field_type
-        self.field2source[field] = field_source
-        self.field2seqlen[field] = field_seqlen
+        meta = (field_type, field_source, field_seqlen)
+        (self.field2type[field], self.field2source[field],
+         self.field2seqlen[field]) = meta
 
     def copy_field_property(self, dest_field, source_field):
-        self.field2type[dest_field] = self.field2type[source_field]
-        self.field2source[dest_field] = self.field2source[source_field]
-        self.field2seqlen[dest_field] = self.field2seqlen[source_field]
+        self.set_field_property(
+            dest_field, self.field2type[source_field],
+            self.field2source[source_field], self.field2seqlen[source_field],
+        )
 
     def num(self, field):
-        if field not in self.field2type:
+        ftype = self.field2type.get(field)
+        if ftype is None:
             raise ValueError(f"Field [{field}] not defined in dataset.")
-        if self.field2type[field] not in (FeatureType.TOKEN, FeatureType.TOKEN_SEQ):
-            return self.field2seqlen[field]
-        return len(self.field2id_token[field])
+        token_like = ftype in (FeatureType.TOKEN, FeatureType.TOKEN_SEQ)
+        return (len(self.field2id_token[field]) if token_like
+                else self.field2seqlen[field])
 
     def token2id(self, field, tokens):
         if isinstance(tokens, str):
-            if tokens in self.field2token_id[field]:
+            try:
                 return self.field2token_id[field][tokens]
-            raise ValueError(f'token [{tokens}] is not existed in {field}')
+            except KeyError:
+                raise ValueError(f"token [{tokens}] is not existed in {field}")
         if isinstance(tokens, (list, np.ndarray)):
             return np.array([self.token2id(field, t) for t in tokens])
-        raise TypeError(f'The type of tokens [{tokens}] is not supported')
+        raise TypeError(f"The type of tokens [{tokens}] is not supported")
 
     def id2token(self, field, ids):
+        vocab = self.field2id_token[field]
         try:
-            return self.field2id_token[field][ids]
+            return vocab[ids]
         except IndexError:
-            if isinstance(ids, (list, np.ndarray)):
-                raise ValueError(f'[{ids}] is not a one-dimensional list-like of ids.')
-            raise ValueError(f'[{ids}] is not a valid id.')
+            kind = ("a one-dimensional list-like of ids"
+                    if isinstance(ids, (list, np.ndarray)) else "a valid id")
+            raise ValueError(f"[{ids}] is not {kind}.")
 
     # -------------------------------------------------------------- counters
 
     def counter(self, field):
-        if isinstance(self.inter_feat, Interaction):
-            return Counter(self.inter_feat[field].tolist())
-        return Counter(self.inter_feat[field].values)
+        col = self.inter_feat[field]
+        return Counter(col.tolist() if isinstance(self.inter_feat, Interaction)
+                       else list(col.values))
 
-    @property
-    def user_counter(self):
-        return self.counter(self.uid_field)
+    user_counter = property(lambda self: self.counter(self.uid_field))
+    item_counter = property(lambda self: self.counter(self.iid_field))
+    user_num = property(lambda self: self.num(self.uid_field))
+    item_num = property(lambda self: self.num(self.iid_field))
+    inter_num = property(lambda self: len(self.inter_feat))
+    sparsity = property(
+        lambda self: 1.0 - self.inter_num / (self.user_num * self.item_num)
+    )
 
-    @property
-    def item_counter(self):
-        return self.counter(self.iid_field)
+    def _mean_group_size(self, field):
+        ids = np.asarray(self.inter_feat[field])
+        return len(ids) / max(len(np.unique(ids)), 1)
 
-    @property
-    def user_num(self):
-        return self.num(self.uid_field)
-
-    @property
-    def item_num(self):
-        return self.num(self.iid_field)
-
-    @property
-    def inter_num(self):
-        return len(self.inter_feat)
-
-    @property
-    def avg_actions_of_users(self):
-        return np.mean(list(Counter(np.asarray(self.inter_feat[self.uid_field])).values()))
-
-    @property
-    def avg_actions_of_items(self):
-        return np.mean(list(Counter(np.asarray(self.inter_feat[self.iid_field])).values()))
-
-    @property
-    def sparsity(self):
-        return 1 - self.inter_num / self.user_num / self.item_num
+    avg_actions_of_users = property(
+        lambda self: self._mean_group_size(self.uid_field)
+    )
+    avg_actions_of_items = property(
+        lambda self: self._mean_group_size(self.iid_field)
+    )
 
     # ------------------------------------------------------------- container
 
     def join(self, df: Interaction) -> Interaction:
         """Attach user/item features onto an interaction batch (reference
         :1256-1269)."""
-        if self.user_feat is not None and self.uid_field in df:
-            df.update(self.user_feat[df[self.uid_field]])
-        if self.item_feat is not None and self.iid_field in df:
-            df.update(self.item_feat[df[self.iid_field]])
+        for feat, key in ((self.user_feat, self.uid_field),
+                          (self.item_feat, self.iid_field)):
+            if feat is not None and key in df:
+                df.update(feat[df[key]])
         return df
 
     def __getitem__(self, index):
@@ -693,9 +676,9 @@ class Dataset:
         return "\n".join(info)
 
     def copy(self, new_inter_feat) -> "Dataset":
-        nxt = _copy.copy(self)
-        nxt.inter_feat = new_inter_feat
-        return nxt
+        clone = _copy.copy(self)
+        clone.inter_feat = new_inter_feat
+        return clone
 
     # ----------------------------------------------------------------- build
 
@@ -716,11 +699,11 @@ class Dataset:
                 new_data[k] = seq_data
         return Interaction(new_data)
 
-    def _change_feat_format(self):
+    def _feats_to_interactions(self):
         for name in self.feat_name_list:
-            feat = getattr(self, name)
-            if isinstance(feat, pd.DataFrame):
-                setattr(self, name, self._dataframe_to_interaction(feat))
+            table = getattr(self, name)
+            if isinstance(table, pd.DataFrame):
+                setattr(self, name, self._dataframe_to_interaction(table))
 
     def shuffle(self):
         self.inter_feat.shuffle()
@@ -728,25 +711,24 @@ class Dataset:
     def sort(self, by, ascending=True):
         self.inter_feat.sort(by=by, ascending=ascending)
 
-    def _grouped_index(self, group_by_list):
-        index = {}
-        for i, key in enumerate(group_by_list):
-            index.setdefault(key, []).append(i)
-        return index.values()
+    def _rows_grouped_by(self, group_by_list):
+        buckets = {}
+        for row, key in enumerate(group_by_list):
+            buckets.setdefault(key, []).append(row)
+        return buckets.values()
 
     @staticmethod
     def _calcu_split_ids(tot, ratios):
         """Per-group split sizes: first part takes the remainder, tiny tail
         ratios are bumped to 1 row (reference :1339-1360)."""
-        cnt = [int(ratios[i] * tot) for i in range(len(ratios))]
-        cnt[0] = tot - sum(cnt[1:])
-        for i in range(1, len(ratios)):
-            if cnt[0] <= 1:
+        sizes = [int(r * tot) for r in ratios]
+        sizes[0] = tot - sum(sizes[1:])
+        for back in range(1, len(ratios)):
+            if sizes[0] <= 1:
                 break
-            if 0 < ratios[-i] * tot < 1:
-                cnt[-i] += 1
-                cnt[0] -= 1
-        return list(np.cumsum(cnt)[:-1])
+            if 0 < ratios[-back] * tot < 1:
+                sizes[-back], sizes[0] = sizes[-back] + 1, sizes[0] - 1
+        return list(np.cumsum(sizes)[:-1])
 
     def split_by_ratio(self, ratios, group_by=None):
         tot_ratio = sum(ratios)
@@ -759,46 +741,44 @@ class Dataset:
                 for start, end in zip([0] + split_ids, split_ids + [tot_cnt])
             ]
         else:
-            grouped = self._grouped_index(np.asarray(self.inter_feat[group_by]))
+            grouped = self._rows_grouped_by(np.asarray(self.inter_feat[group_by]))
             next_index = [[] for _ in ratios]
             for group in grouped:
                 tot_cnt = len(group)
                 split_ids = self._calcu_split_ids(tot_cnt, ratios)
                 for index, start, end in zip(next_index, [0] + split_ids, split_ids + [tot_cnt]):
                     index.extend(group[start:end])
-        self._drop_unused_col()
+        self._drop_unused_columns()
         return [self.copy(self.inter_feat[np.array(idx, dtype=np.int64)]) for idx in next_index]
 
-    def _split_index_by_leave_one_out(self, grouped_index, leave_one_num):
-        next_index = [[] for _ in range(leave_one_num + 1)]
-        for index in grouped_index:
-            index = list(index)
-            tot_cnt = len(index)
-            legal = min(leave_one_num, tot_cnt - 1)
-            pr = tot_cnt - legal
-            next_index[0].extend(index[:pr])
-            for i in range(legal):
-                next_index[-legal + i].append(index[pr])
-                pr += 1
-        return next_index
+    def _loo_split_indices(self, grouped_index, leave_one_num):
+        parts = [[] for _ in range(leave_one_num + 1)]
+        for rows in grouped_index:
+            rows = list(rows)
+            held_out = min(leave_one_num, len(rows) - 1)
+            cut = len(rows) - held_out
+            parts[0].extend(rows[:cut])
+            for offset, row in enumerate(rows[cut:]):
+                parts[offset - held_out].append(row)
+        return parts
 
     def leave_one_out(self, group_by, leave_one_mode):
         if group_by is None:
             raise ValueError("leave one out strategy requires a group field")
-        grouped = self._grouped_index(np.asarray(self.inter_feat[group_by]))
+        grouped = self._rows_grouped_by(np.asarray(self.inter_feat[group_by]))
         if leave_one_mode == "valid_and_test":
-            next_index = self._split_index_by_leave_one_out(grouped, 2)
+            next_index = self._loo_split_indices(grouped, 2)
         elif leave_one_mode == "valid_only":
-            next_index = self._split_index_by_leave_one_out(grouped, 1) + [[]]
+            next_index = self._loo_split_indices(grouped, 1) + [[]]
         elif leave_one_mode == "test_only":
-            idx = self._split_index_by_leave_one_out(grouped, 1)
+            idx = self._loo_split_indices(grouped, 1)
             next_index = [idx[0], [], idx[1]]
         else:
             raise NotImplementedError(f"leave_one_mode [{leave_one_mode}] not implemented.")
-        self._drop_unused_col()
+        self._drop_unused_columns()
         return [self.copy(self.inter_feat[np.array(i, dtype=np.int64)]) for i in next_index]
 
-    def _drop_unused_col(self):
+    def _drop_unused_columns(self):
         unused_col = self.config["unused_col"] or {}
         for feat_name, cols in unused_col.items():
             feat = getattr(self, f"{feat_name}_feat" if feat_name != "inter" else "inter_feat")
@@ -811,13 +791,13 @@ class Dataset:
 
     def build(self):
         """Order → group → split per eval_args (reference :1467-1514)."""
-        self._change_feat_format()
+        self._feats_to_interactions()
 
         if self.benchmark_filename_list is not None:
-            cumsum = list(np.cumsum(self.file_size_list))
+            ends = np.cumsum(self.file_size_list).tolist()
             return [
                 self.copy(self.inter_feat[start:end])
-                for start, end in zip([0] + cumsum[:-1], cumsum)
+                for start, end in zip([0, *ends[:-1]], ends)
             ]
 
         ordering = self.config["eval_args"]["order"]
@@ -835,7 +815,9 @@ class Dataset:
         group_by = self.config["eval_args"]["group_by"]
         if split_mode == "RS":
             if not isinstance(split_args["RS"], list):
-                raise ValueError(f'The value of "RS" [{split_args}] should be a list.')
+                raise ValueError(
+                    f'The value of "RS" [{split_args}] should be a list.'
+                )
             if group_by is None or str(group_by).lower() == "none":
                 return self.split_by_ratio(split_args["RS"], group_by=None)
             if group_by == "user":
@@ -953,12 +935,12 @@ class Dataset:
 
     def history_item_matrix(self, value_field=None):
         """Per-user padded history arrays (history, value, length)."""
-        return self._history_matrix("item", value_field)
+        return self._padded_history("item", value_field)
 
     def history_user_matrix(self, value_field=None):
-        return self._history_matrix("user", value_field)
+        return self._padded_history("user", value_field)
 
-    def _history_matrix(self, row, value_field=None):
+    def _padded_history(self, row, value_field=None):
         uids = np.asarray(self.inter_feat[self.uid_field])
         iids = np.asarray(self.inter_feat[self.iid_field])
         if value_field is None:
@@ -971,16 +953,16 @@ class Dataset:
         else:
             row_ids, col_ids = iids, uids
             row_num = self.item_num
-        history_len = np.zeros(row_num, dtype=np.int64)
-        np.add.at(history_len, row_ids, 1)
+        history_len = np.bincount(row_ids, minlength=row_num).astype(np.int64)
         max_len = int(history_len.max()) if row_num else 0
         history = np.zeros((row_num, max_len), dtype=np.int64)
         history_value = np.zeros((row_num, max_len), dtype=np.float32)
-        cursor = np.zeros(row_num, dtype=np.int64)
-        for r, c, v in zip(row_ids, col_ids, values):
-            history[r, cursor[r]] = c
-            history_value[r, cursor[r]] = v
-            cursor[r] += 1
+        # stable sort by row → within-row slot = rank within its segment
+        order = np.argsort(row_ids, kind="stable")
+        seg_starts = np.concatenate([[0], np.cumsum(history_len)])[:-1]
+        slots = np.arange(len(row_ids)) - seg_starts[row_ids[order]]
+        history[row_ids[order], slots] = col_ids[order]
+        history_value[row_ids[order], slots] = values[order]
         return history, history_value, history_len
 
     def save(self):

@@ -42,8 +42,12 @@ def init_multihost(config_dict=None):
     return True
 
 
-def run_recbole(model=None, dataset=None, config_file_list=None, config_dict=None, saved=True):
+def run_recbole(model=None, dataset=None, config_file_list=None, config_dict=None,
+                saved=True, callback_fn=None):
     """Train and test a model from config.
+
+    ``callback_fn(epoch_idx, valid_score)`` is forwarded to Trainer.fit
+    (per-valid-epoch hook; used by trajectory probes).
 
     Returns dict with best_valid_score / valid_score_bigger /
     best_valid_result / test_result.
@@ -69,7 +73,8 @@ def run_recbole(model=None, dataset=None, config_file_list=None, config_dict=Non
     trainer = get_trainer(config["MODEL_TYPE"], config["model"])(config, model_obj)
 
     best_valid_score, best_valid_result = trainer.fit(
-        train_data, valid_data, saved=saved, show_progress=config["show_progress"]
+        train_data, valid_data, saved=saved, show_progress=config["show_progress"],
+        callback_fn=callback_fn,
     )
     test_result = trainer.evaluate(
         test_data, load_best_model=saved, show_progress=config["show_progress"]

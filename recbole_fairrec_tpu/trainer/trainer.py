@@ -50,6 +50,29 @@ from ..utils.loggers import WandbLogger, get_tensorboard
 NEG_INF = -np.inf
 
 
+def restrict_tx(inner, group_keys):
+    """Optimizer applying ``inner`` to the given top-level param keys and
+    ZEROING every other update. optax.masked alone is wrong here: it passes
+    unmasked leaves' updates (i.e. raw gradients) through UNCHANGED, and
+    apply_updates would then add +grad to every out-of-group param — a
+    full-lr gradient-ASCENT kick per step on params the reference's
+    per-optimizer groups never touch. Shared by the adversarial trainers
+    and the multichip dryrun (ADVICE r3)."""
+    group_keys = set(group_keys)
+
+    def label(params):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: "on" if k in group_keys else "off", v
+            )
+            for k, v in params.items()
+        }
+
+    return optax.multi_transform(
+        {"on": inner, "off": optax.set_to_zero()}, label
+    )
+
+
 def _flatten_result(result):
     flat = {}
     for k, v in (result or {}).items():
@@ -205,25 +228,7 @@ class Trainer(AbstractTrainer):
         return tx
 
     def _restrict_tx(self, inner, group_keys):
-        """Apply ``inner`` to the given top-level param keys and ZERO every
-        other update. optax.masked alone is wrong here: it passes unmasked
-        leaves' updates (i.e. raw gradients) through UNCHANGED, and
-        apply_updates would then add +grad to every out-of-group param — a
-        full-lr gradient-ASCENT kick per step on params the reference's
-        per-optimizer groups never touch."""
-        group_keys = set(group_keys)
-
-        def label(params):
-            return {
-                k: jax.tree_util.tree_map(
-                    lambda _: "on" if k in group_keys else "off", v
-                )
-                for k, v in params.items()
-            }
-
-        return optax.multi_transform(
-            {"on": inner, "off": optax.set_to_zero()}, label
-        )
+        return restrict_tx(inner, group_keys)
 
     def _masked_tx(self, group_keys, **kwargs):
         """Optimizer updating ONLY the given top-level param keys — the optax
