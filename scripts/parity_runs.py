@@ -155,6 +155,47 @@ save_sst_embed: False
 pretrain_epochs: 60
 epochs: 100
 """,
+    # Multi-attribute runs (VERDICT r3 item 3): gender + ml-1M-bucketed age
+    # (7 classes → multiclass discriminators; sm now enumerates 2²−1 = 3
+    # distinct filters, so cm and sm are no longer the same computation).
+    # ValueUnfairness & friends still report gender (the reference metric
+    # reads sst_attr_list[0] and enforces binary, metrics.py:951-952);
+    # NonParity adds an age row via its multi-class std branch.
+    "PFCN_PMF_cm_ga": """\
+model: PFCN_PMF
+LABEL_FIELD: label
+threshold: {'rating': 3.0}
+load_col:
+  inter: [user_id,item_id,rating]
+  user: [user_id,gender,age]
+sst_attr_list: ['gender', 'age']
+filter_mode: cm
+save_sst_embed: False
+""",
+    "PFCN_PMF_sm_ga": """\
+model: PFCN_PMF
+LABEL_FIELD: label
+threshold: {'rating': 3.0}
+load_col:
+  inter: [user_id,item_id,rating]
+  user: [user_id,gender,age]
+sst_attr_list: ['gender', 'age']
+filter_mode: sm
+save_sst_embed: False
+""",
+    "FairGo_PMF_ga": """\
+model: FairGo_PMF
+LABEL_FIELD: label
+threshold: {'rating': 3.0}
+load_col:
+  inter: [user_id,item_id,rating]
+  user: [user_id,gender,age]
+sst_attr_list: ['gender', 'age']
+n_layers: 2
+save_sst_embed: False
+pretrain_epochs: 60
+epochs: 100
+""",
 }
 # Run key "FairGo_PMF_sb" (no MODEL_CFG entry) is the dual-eval driver
 # run_fairgo_dual: a full reference FairGo_PMF training run whose test set
@@ -176,6 +217,8 @@ SEEDS = [2020, 2021, 2022, 2023, 2024]
 
 def _model_name(run_key):
     return {"PFCN_PMF_cm": "PFCN_PMF", "PFCN_PMF_sm": "PFCN_PMF",
+            "PFCN_PMF_cm_ga": "PFCN_PMF", "PFCN_PMF_sm_ga": "PFCN_PMF",
+            "FairGo_PMF_ga": "FairGo_PMF",
             "NFCF_pre": "NFCF", "FairGo_PMF_sb": "FairGo_PMF"}.get(run_key, run_key)
 
 
@@ -398,28 +441,65 @@ def _flat_test_result(payload):
     return tr
 
 
-# Models whose out-of-bound rows have a pinned cause (see _ADJUDICATIONS):
-# their rows read EXPLAINED, not DIVERGENT, and don't fail the summary.
-EXPLAINED = {"PFCN_PMF_cm", "PFCN_PMF_sm", "FairGo_PMF"}
+# (run_key, metric-substring) pairs whose out-of-bound rows have a pinned
+# cause (see _ADJUDICATIONS): those rows read EXPLAINED, not DIVERGENT, and
+# don't fail the summary. Scoped per metric (ADVICE r3 item 2) so an
+# unadjudicated metric in the same model still fails the summary. "*" covers
+# every metric — used only for the PFCN BN-eval degeneracy, which poisons
+# EVERY reference metric of filter-bearing PFCN variants (all predictions
+# are sigmoid(0)=0.5 → index-order top-k).
+_PFCN_FILTERED = ("PFCN_PMF_cm", "PFCN_PMF_sm", "PFCN_MLP", "PFCN_DMF",
+                  "PFCN_PMF_cm_ga", "PFCN_PMF_sm_ga")
+EXPLAINED = {(m, "*") for m in _PFCN_FILTERED} | {
+    ("FairGo_PMF", "NonParity"),
+    ("FairGo_PMF", "Differential Fairness"),
+    ("FairGo_PMF_ga", "NonParity"),
+    ("FairGo_PMF_ga", "Differential Fairness"),
+}
+
+
+def _is_explained(model, metric):
+    return (model, "*") in EXPLAINED or any(
+        m == model and sub in metric for m, sub in EXPLAINED if sub != "*"
+    )
 
 _ADJUDICATIONS = """\
 ## Adjudications & reference defects
 
-Every out-of-bound row above traces to one of the causes below; each cause
-is pinned by a test in the suite.
+Every EXPLAINED row above traces to one of the causes below; each cause is
+pinned by a test in the suite. Adjudications are SCOPED to (model, metric)
+pairs in `scripts/parity_runs.py::EXPLAINED` — a metric outside an
+adjudication's scope that fails the statistic reads DIVERGENT and fails the
+summary, so new regressions cannot hide behind old explanations.
 
-### PFCN (cm/sm): reference eval is degenerate — criterion is fixed-reference
+### PFCN_BiasedMF (filter_mode none): clean trained parity, no adjudication
+
+The reference PFCN_BiasedMF yaml ships `filter_mode: none` — no filter
+MLPs in the score path, so the reference's BN-eval degeneracy (next
+section) does not apply, and the trained comparison is direct: ALL rows
+PASS the rank-sum criterion across 5v5 seeds. This is the PFCN family's
+strongest direct evidence; the filtered variants below then isolate
+exactly the component the reference evaluates incorrectly.
+
+### PFCN with filters (PMF cm/sm, MLP, DMF): reference eval is degenerate — criterion is fixed-reference
 
 The reference stores its filter/discriminator MLPs in plain python dicts
-(`pfcn_mlp.py:105-120` and siblings), so they are NOT registered submodules:
-`model.eval()` never reaches them and their BatchNorm layers run on BATCH
-statistics forever. In the sampled-eval regime (one user's rows per batch)
-every filter input row is identical, BN normalizes each to exactly zero, and
-EVERY reference prediction is sigmoid(0) = 0.5. torch.topk over constant
-scores falls back to index order, so all 12 reference PFCN metrics are
-functions of item-id order and the sampling draw — not of the trained model
-(NonParity is exactly 0.0 in every reference run; asserted in
-`tests/test_e2e_adversarial_parity.py::test_pfcn_subset_keying_matches_reference`).
+(`pfcn_mlp.py:104-120` and siblings), so they are NOT registered submodules:
+`model.eval()` never reaches them and their BatchNorm layers (`bn=True`,
+`init_filter`) run on BATCH statistics forever. In the sampled-eval regime
+(one user's rows per batch) every filter input row is that user's same
+embedding, so each BN feature normalizes identical values to exactly zero
+— the filtered USER representation is annihilated at eval. What remains
+depends on the head: the dot-product heads (PFCN_PMF) score 0 everywhere,
+sigmoid(0)=0.5, and torch.topk over constant scores falls back to
+index order (NonParity exactly 0.0 in the PMF reference runs; asserted in
+`tests/test_e2e_adversarial_parity.py::test_pfcn_subset_keying_matches_reference`);
+the MLP/DMF heads still see the item side (concat-MLP / item tower), so
+the reference evaluates a USER-INDEPENDENT item-only scorer — every user
+gets the same ranking over their candidates (hence its deceptively high,
+personalization-free ndcg ≈ 0.21 and nonzero NonParity). Either way the
+trained per-user personalization — the thing the model learns — is
+invisible to the reference's own eval.
 
 Position: we match the FIXED reference — our filters/discriminators are real
 submodule state and eval applies the running-stats semantics the reference's
@@ -445,50 +525,114 @@ finetune. That (not framework drift) produced round 2's 4× NonParity gap.
 The shim now routes through `__setitem__` (`tests/ref_compat.py`); with it,
 adjacency matrices agree to 3e-8 and FairGo finetune loss AND gradients
 match to 2e-7 (`tests/test_trajectory_parity.py::test_fairgo_finetune_gradient_parity`).
-All FairGo reference rows above are post-fix reruns. (Reference FairGo
-seeds 2023/2024 are still queued — each takes ~45–75 CPU-minutes; rerun via
-`python scripts/parity_runs.py --run FairGo_PMF --framework ref --seed 2023`
-and regenerate this report with `--report`.)
+All FairGo reference rows above are post-fix runs, 5 seeds per side.
 
-### FairGo reference Value/Absolute/Under-Unfairness are NaN — collector slice defect
+### FairGo Value/Absolute/Under-Unfairness: finite reference numbers via small-batch dual-eval
 
-Every FairGo reference run reports NaN for Value/Absolute/Underestimation
-Unfairness (the "NaN runs" rows above). Cause: the reference collector's
-sampled-mode negative extraction slices interaction rows
-`[pos_len : 2·pos_len]` globally (`collector.py:191-200`), which is only
-each user's first negative block when the batch holds ONE user. FOCF/NFCF
-stay in that regime (eval_batch_size 4096 < one user's uni100 row count
-forces step=1), but `FairGo_PMF.yaml:46` raises eval_batch_size to 16384 →
-~10 users per batch → the slice crosses user blocks and pairs users with
-items they never scored: `scores[u, i] = −inf` leaks into
-`rec.negative_score`, and −inf − (−inf) = NaN inside the metric
-(Overestimation survives only because `max(0, −inf − r)` clips to 0 —
-finite but silently wrong). Pinned by
-`tests/test_reference_parity.py::test_reference_multiuser_negative_slice_defect`.
+Under its own protocol (eval_batch_size 16384) every FairGo reference run
+reports NaN for Value/Absolute/Underestimation Unfairness. Cause: the
+reference collector's sampled-mode negative extraction slices interaction
+rows `[pos_len : 2·pos_len]` globally (`collector.py:191-200`), which is
+only each user's first negative block when the batch holds ONE user.
+FOCF/NFCF stay in that regime (eval_batch_size 4096 < one user's uni100
+row count forces step=1), but `FairGo_PMF.yaml:46`'s 16384 → ~10 users per
+batch → the slice crosses user blocks and pairs users with items they
+never scored: `scores[u, i] = −inf` leaks into `rec.negative_score`, and
+−inf − (−inf) = NaN inside the metric (Overestimation survives only
+because `max(0, −inf − r)` clips to 0 — finite but silently wrong).
+Pinned by `tests/test_reference_parity.py::test_reference_multiuser_negative_slice_defect`.
+
+To obtain comparable reference numbers, each reference run's test set is
+evaluated a SECOND time in-process at eval_batch_size 2048 — below the two
+largest users' combined uni100 row count, so `batch_num=1` in
+`NegSampleEvalDataLoader._init_batch_size_and_step` and every batch holds
+exactly one user, the regime where the reference slice is correct (the
+`FairGo_PMF_sb_ref_*.json` artifacts; in-process because the reference's
+filter/discriminator dicts are unregistered plain-python dicts absent from
+state_dict, so no checkpoint can reproduce the trained finetune model).
+The `*sb` rows compare ours against those finite values — all three PASS.
 Our collector takes each user's own first negative block
 (`evaluator/collector.py:_first_negative_block`) — identical to the
-reference in its single-user regime, finite and correct beyond it — so for
-these three metrics the reference provides no comparable number and ours
-stands as the framework's value.
+reference in its single-user regime, finite and correct beyond it.
 
-### FairGo NonParity: ours reaches a consistently fairer equilibrium
+### FairGo NonParity + mrr: ours reaches a consistently fairer (and slightly sharper) equilibrium
 
 With every step-level quantity pinned (loss to 2e-4, gradients to 2e-7,
 multi-epoch SGD trajectories tracking, configs identical), the trained
 FairGo runs still separate on NonParity: reference ≈ 0.007–0.014, ours ≈
 0.0005–0.003 across seeds — ours sits ~10× lower, i.e. the adversarial
 objective (erase the group signal from scores) is achieved more
-consistently, at equal-or-better NDCG (ref also collapses on seed 2022,
-NDCG 0.006; ours collapses on none of 5). Pretrain stages are statistically
-indistinguishable (NDCG ≈ 0.05 both), so the separation emerges inside the
-adversarial finetune — an equilibrium-selection difference of a chaotic
-two-player game driven by different RNG streams (torch MT19937 shuffling/
-sampling vs JAX threefry), with proven-identical per-step dynamics. The
-rows read EXPLAINED: the divergence direction is the framework performing
-the reference's own objective better, not failing to match it. (Round 2's
-4× version of this gap had a different, now-fixed cause on each side: the
-reference trained against a zero graph, ours had the optimizer-masking
-defect.)
+consistently, at equal-or-better ranking quality (ref collapses on seed
+2022, NDCG 0.006; ours collapses on none of 5). Pretrain stages are
+statistically indistinguishable (NDCG ≈ 0.05 both), so the separation
+emerges inside the adversarial finetune — an equilibrium-selection
+difference of a chaotic two-player game driven by different RNG streams
+(torch MT19937 vs JAX threefry), with proven-identical per-step dynamics.
+The same equilibrium difference shows on mrr@5: ours 0.239±0.015 vs ref
+0.216±0.008 (excluding ref's collapsed 2022; rank-sum p=0.032, 0.016 with
+it) while ndcg/hit/recall pass — head-of-list rank quality lands slightly
+HIGHER in our equilibria. Both rows read EXPLAINED: the divergence
+direction is the framework performing the reference's own objective
+better, not failing to match it. (Round 2's 4× version of this gap had a
+different, now-fixed cause on each side: the reference trained against a
+zero graph, ours had the optimizer-masking defect.)
+
+### FairGo_GCN: reference-side runs are impossible here — ours ×5 + a layer oracle
+
+The reference FairGo_GCN imports `torch_geometric.nn.GCN`
+(`fairgo_gcn.py:20,52-65`), the repo's only external GNN dependency, and
+torch_geometric is not installable in this environment (no package, no
+network egress) — so no reference-side trained run can exist. The
+compensating evidence: (a) our GCN backbone is pinned against a dense
+float64 re-derivation of torch_geometric's GCN semantics (weighted
+gcn_norm, Glorot init, layer stack — `tests/test_ops.py:80-130`); (b) the
+full shared FairGo machinery (filters, discriminators, propagation,
+aggregation, alternation) is covered by the FairGo_PMF rows above, where
+5v5 trained seeds pass; (c) ours-side FairGo_GCN ×5 trained runs are
+recorded in the table above as the framework's reference numbers for this
+model (finetune NDCG@5 0.120±0.007, NonParity 0.0022±0.0017 — the same
+equilibrium class as our FairGo_PMF runs, 0.127±0.009 / 0.0011±0.0008).
+
+### Ours-side PFCN bimodality: early-stop truncation of a slow takeoff, not collapse
+
+Our PFCN_PMF cm seeds read [0.020, 0.202, 0.028, 0.033, 0.025] ndcg@5 —
+seed 2021 ~8× the rest. The per-epoch valid trajectories (retained run
+logs, `log/PFCN_PMF/`) show every seed starting at ndcg ≈ 0.02 and NONE
+dropping: the filter/backbone pass runs only every
+`train_epoch_interval=5` epochs (reference trainer.py:875-898), so the
+recommender gets ~2 update opportunities inside the stopping_step=10
+patience window; seeds 2020/2022/2023/2024 drift < +0.01 inside their
+first windows and are truncated at epochs 14–31, while 2021 inches upward
+just enough each window to survive, then climbs for 215 epochs to 0.193.
+The pinning artifact (`runs/parity/probe/*_nostop.json`,
+`scripts/pfcn_bimodality_probe.py`): rerunning "collapsed" seeds with
+early stopping disabled, they climb right out — seed 2020 reaches valid
+ndcg 0.166+ by epoch ~100 on the same config that early-stopped it at
+0.021. So the bimodality is the reference protocol's own
+early-stop × train_epoch_interval interaction sampling a slow-takeoff
+curve, not adversarial collapse; which side of it a seed lands on is RNG-
+stream-specific, which is why the criterion treats seeds as
+distributional samples. (The reference's own runs cannot exhibit the
+effect informatively: its filtered-PFCN valid scores are BN-degenerate
+index-order artifacts — see above.)
+
+### CPU wall-clock: steady-state is faster than torch; losses were compile + epoch-count asymmetry
+
+Round 3 flagged ours losing CPU wall-clock on PFCN (220 s vs 103 s mean)
+and NFCF_pre. Per-epoch timings from the retained logs (both frameworks
+measured under identical 2-core contention, PFCN_MLP runs): reference
+steady state = 1.8–2.0 s train + 2.5–3.0 s eval per epoch; ours = 0.9–1.8
+s train + 0.8–1.6 s eval — OURS IS FASTER PER EPOCH on both phases. The
+wall-clock gap decomposes into (a) one-time XLA compilation: ours' first
+epoch costs 5–16 s (vs ~2 s steady), and each adversarial pass/eval
+variant compiles its own executable — ≈ 15–40 s per run, which a
+~20-epoch early-stopped run cannot amortize (a 300-epoch production run
+amortizes it to noise); and (b) epoch-count asymmetry: early stopping is
+trajectory-dependent and the frameworks draw different RNG streams, so
+e.g. our PFCN seed 2021 trains 215 epochs (712 s, and reaches 10× the
+ndcg) where the reference's own 2021 stops at ~16. Wall-clock per RUN is
+therefore not comparable across frameworks under this protocol;
+wall-clock per EPOCH is, and ours wins it.
 
 ### Round-3 rerun of all adversarial/frozen 'ours' runs
 
@@ -517,6 +661,27 @@ criterion is distribution overlap, which the spread bound above encodes.
 """
 
 
+def _rank_sum_p(x, y):
+    """Two-sided exact Mann-Whitney U p-value (tiny samples)."""
+    from scipy.stats import mannwhitneyu
+
+    try:
+        return float(mannwhitneyu(x, y, alternative="two-sided",
+                                  method="exact").pvalue)
+    except ValueError:  # all values identical
+        return 1.0
+
+
+def _fmt_seeds(vals):
+    return "/".join(f"{v:.3f}" for v in vals)
+
+
+def _mean_sd(vals):
+    m = sum(vals) / len(vals)
+    sd = (sum((v - m) ** 2 for v in vals) / len(vals)) ** 0.5
+    return m, sd
+
+
 def report():
     rows = {}
     for path in sorted(glob.glob(os.path.join(RUNS_DIR, "*.json"))):
@@ -533,28 +698,53 @@ def report():
         by_seed = {}
         for p in sorted(plist, key=lambda q: q["device"] != "cpu"):
             by_seed.setdefault(p["seed"], p)
-        rows[key] = list(by_seed.values())
+        rows[key] = [by_seed[s] for s in sorted(by_seed)]
+
+    # FairGo small-batch dual-eval artifacts supply the reference side for
+    # the three metrics the reference protocol NaNs out (collector slice
+    # defect) — attach them to the FairGo_PMF section rather than listing
+    # them as their own model.
+    sb_runs = rows.pop(("FairGo_PMF_sb", "ref"), [])
+    _SB_METRICS = ("Value Unfairness", "Absolute Unfairness",
+                   "Underestimation Unfairness")
 
     lines = [
         "# PARITY_RUNS — golden training-parity numbers",
         "",
         "Trained-model comparison vs the torch reference on **ml-100k-fair**",
-        "(bundled ml-100k with float-coded gender, the reference's ml-1M.user",
-        "convention), using the reference model-yaml protocol: RS[8,1,1]/RO,",
-        "uni100, NDCG@5 valid metric, epochs 300 / early-stop 10, batch 2048,",
-        "adam 1e-3, seeds 2020–2024. Both frameworks consume the SAME",
-        "generated config file (see scripts/parity_runs.py). Reference runs on",
-        "torch CPU; ours on the JAX CPU or TPU backend (device-independent",
-        "math; BENCH pins CPU/TPU eval agreement, and each JSON records its",
-        "device).",
+        "(bundled ml-100k with float-coded gender and ml-1M-style age",
+        "buckets, the reference's ml-1M.user convention), using the",
+        "reference model-yaml protocol: RS[8,1,1]/RO, uni100, NDCG@5 valid",
+        "metric, epochs 300 / early-stop 10, batch 2048, adam 1e-3, seeds",
+        "2020–2024. Both frameworks consume the SAME generated config file",
+        "(see scripts/parity_runs.py). Reference runs on torch CPU; ours on",
+        "the JAX CPU or TPU backend (device-independent math; BENCH pins",
+        "CPU/TPU eval agreement, and each JSON records its device).",
         "",
-        "FairGo_PMF: pretrain_epochs capped 600→60 and epochs 300→100 in BOTH",
-        "frameworks for CPU tractability.",
+        "FairGo_PMF/GCN: pretrain_epochs capped 600→60 and epochs 300→100 in",
+        "BOTH frameworks for CPU tractability.",
         "",
-        "`Δ` = |mean(ours) − mean(ref)|; PASS if Δ ≤ max(spread_ref,",
-        "spread_ours, 0.01) where spread = max−min over seeds (run variance).",
-        "Rows that exceed that bound in a model with an adjudicated cause are",
-        "marked EXPLAINED and dissected in §Adjudications below.",
+        "**Criterion.** The two frameworks draw different RNG streams (torch",
+        "MT19937 vs JAX threefry), so per-seed outcomes are independent",
+        "draws from each framework's trained-outcome distribution; parity is",
+        "distributional. Each row reports per-seed values, mean±sd, and the",
+        "two-sided exact Mann-Whitney rank-sum p over the seed samples.",
+        "PASS if p ≥ 0.05 (no detectable distribution shift) OR",
+        "|Δmean| ≤ 0.01 (absolute floor for metrics whose scale makes any",
+        "shift immaterial). Rows that fail with a pinned cause are marked",
+        "EXPLAINED (scoped per (model, metric) — see §Adjudications);",
+        "anything else reads DIVERGENT and fails the summary.",
+        "",
+        "`*sb`: reference values from the small-batch dual-eval reruns",
+        "(finite regime for the collector's negative-slice defect); the",
+        "protocol-batch reference values for these metrics are NaN.",
+        "",
+        "Note: with a single binary attribute, `sm` (one filter per",
+        "non-empty attr subset, 2¹−1 = 1) is architecturally IDENTICAL to",
+        "`cm` — the single-attr cm and sm tables are the same computation",
+        "trained twice, not independent confirmations. The `_ga` (gender +",
+        "age) runs make the distinction real: sm there builds 2²−1 = 3",
+        "distinct filters.",
         "",
     ]
     summary_pass = True
@@ -562,16 +752,37 @@ def report():
     for model in models:
         ref_runs = rows.get((model, "ref"), [])
         our_runs = rows.get((model, "ours"), [])
+        if model == "FairGo_GCN" and not ref_runs:
+            # reference-side runs are impossible in this environment
+            # (torch_geometric absent) — ours-only section, adjudicated below
+            lines.append(f"## FairGo_GCN  (ours ×{len(our_runs)}; no reference runs "
+                         "possible — see §Adjudications)")
+            lines.append("")
+            lines.append("| metric | ours seeds | ours mean±sd |")
+            lines.append("|---|---|---|")
+            for metric in HEADLINE:
+                ov = [_flat_test_result(p).get(metric) for p in our_runs]
+                ov = [v for v in ov if v is not None and v == v]
+                if not ov:
+                    continue
+                om, osd = _mean_sd(ov)
+                lines.append(f"| {metric} | {_fmt_seeds(ov)} | {om:.4f}±{osd:.4f} |")
+            lines.append("")
+            continue
         if not ref_runs or not our_runs:
             lines.append(f"## {model}: INCOMPLETE (ref={len(ref_runs)} ours={len(our_runs)})")
             summary_pass = False
             continue
         lines.append(f"## {model}  (seeds: ref={len(ref_runs)}, ours={len(our_runs)})")
         lines.append("")
-        lines.append("| metric | ref mean | ref spread | ours mean | ours spread | Δ | verdict |")
-        lines.append("|---|---|---|---|---|---|---|")
+        lines.append("| metric | ref seeds | ours seeds | ref mean±sd | ours mean±sd | Δ | p | verdict |")
+        lines.append("|---|---|---|---|---|---|---|---|")
         for metric in HEADLINE:
-            rv = [_flat_test_result(p).get(metric) for p in ref_runs]
+            ref_src, tag = ref_runs, ""
+            if (model == "FairGo_PMF" and sb_runs
+                    and any(s in metric for s in _SB_METRICS)):
+                ref_src, tag = sb_runs, "*sb"
+            rv = [_flat_test_result(p).get(metric) for p in ref_src]
             ov = [_flat_test_result(p).get(metric) for p in our_runs]
             rv_nan = sum(1 for v in rv if v is not None and v != v)
             ov_nan = sum(1 for v in ov if v is not None and v != v)
@@ -579,27 +790,28 @@ def report():
             ov = [v for v in ov if v is not None and v == v]
             if rv_nan or ov_nan:
                 lines.append(
-                    f"| {metric} | — | — | — | — | — | NaN runs: "
+                    f"| {metric} | — | — | — | — | — | — | NaN runs: "
                     f"ref {rv_nan}, ours {ov_nan} |"
                 )
                 if not rv or not ov:
                     continue
             if not rv or not ov:
                 continue
-            rm, om = sum(rv) / len(rv), sum(ov) / len(ov)
-            rs, osp = max(rv) - min(rv), max(ov) - min(ov)
+            rm, rsd = _mean_sd(rv)
+            om, osd = _mean_sd(ov)
             delta = abs(rm - om)
-            ok = delta <= max(rs, osp, 0.01)
-            if ok:
+            p_val = _rank_sum_p(rv, ov)
+            if p_val >= 0.05 or delta <= 0.01:
                 verdict = "PASS"
-            elif model in EXPLAINED:
+            elif _is_explained(model, metric):
                 verdict = "EXPLAINED"
             else:
                 verdict = "DIVERGENT"
                 summary_pass = False
             lines.append(
-                f"| {metric} | {rm:.4f} | {rs:.4f} | {om:.4f} | {osp:.4f} "
-                f"| {delta:.4f} | {verdict} |"
+                f"| {metric}{tag} | {_fmt_seeds(rv)} | {_fmt_seeds(ov)} "
+                f"| {rm:.4f}±{rsd:.4f} | {om:.4f}±{osd:.4f} "
+                f"| {delta:.4f} | {p_val:.3f} | {verdict} |"
             )
         ref_t = sum(p["wall_s"] for p in ref_runs) / len(ref_runs)
         our_t = sum(p["wall_s"] for p in our_runs) / len(our_runs)
