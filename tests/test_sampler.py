@@ -94,3 +94,56 @@ def test_group_constrained_sampling(tiny_data_path):
     for u, v in zip(uids.tolist(), neg.tolist()):
         u_lab, i_lab = u % 2, v % 3
         assert not ((u_lab == 0 and i_lab == 1) or (u_lab == 1 and i_lab == 0))
+
+
+def test_single_key_fast_path_matches_generic_stream(tiny_data_path):
+    """The eval fast path (all key_ids equal) must consume the numpy RNG
+    stream EXACTLY like the generic path — same sampling() call sizes in
+    the same order — and return the same draws (reference parity: the
+    uni100 negative stream is part of the differential-test surface)."""
+    c, ds, built = _built(tiny_data_path)
+    s = Sampler(["train", "valid", "test"], built, "uniform").set_phase("test")
+
+    def generic(sampler, key_ids, num):
+        # the pre-r4 algorithm, verbatim (sampler.py history)
+        key_ids = np.asarray(key_ids)
+        total_num = len(key_ids) * num
+        tiled_keys = np.tile(key_ids, num)
+        value_ids = sampler.sampling(total_num)
+        bad = sampler._membership(tiled_keys, value_ids)
+        while bad.any():
+            idx = np.nonzero(bad)[0]
+            resampled = sampler.sampling(len(idx))
+            value_ids[idx] = resampled
+            still_bad = sampler._membership(tiled_keys[idx], resampled)
+            bad = np.zeros(total_num, dtype=bool)
+            bad[idx[still_bad]] = True
+        return value_ids.astype(np.int64)
+
+    uids = np.asarray(built[2].inter_feat["user_id"])
+    some_user = int(uids[0])
+    keys = np.full(37, some_user)
+
+    np.random.seed(77)
+    fast = s.sample_by_key_ids(keys, 100)
+    state_after_fast = np.random.get_state()[1][:4].tolist()
+
+    np.random.seed(77)
+    ref = generic(s, keys, 100)
+    state_after_ref = np.random.get_state()[1][:4].tolist()
+
+    np.testing.assert_array_equal(fast, ref)
+    assert state_after_fast == state_after_ref  # identical stream consumption
+
+
+def test_bitmap_membership_equals_searchsorted(tiny_data_path):
+    c, ds, built = _built(tiny_data_path)
+    s = Sampler(["train", "valid", "test"], built, "uniform").set_phase("valid")
+    assert s._used_bits is not None  # tiny key space → bitmap active
+    rng = np.random.RandomState(3)
+    keys = rng.randint(1, ds.user_num, 500)
+    vals = rng.randint(1, ds.item_num, 500)
+    with_bitmap = s._membership(keys, vals)
+    s2 = Sampler(["train", "valid", "test"], built, "uniform").set_phase("valid")
+    s2._used_bits = None
+    np.testing.assert_array_equal(with_bitmap, s2._membership(keys, vals))
