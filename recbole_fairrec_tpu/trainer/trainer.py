@@ -875,9 +875,14 @@ class Trainer(AbstractTrainer):
         topk_idx, rec_topk, pos_score = full_sort_eval_step(
             scores, pu, pi, pw, hu, hi, max(self.config["topk"])
         )
-        self._emit_fused_payload(
-            interaction, positive_u, positive_i, topk_idx, rec_topk, pos_score, n, n_pos
-        )
+
+        def emit():
+            self._emit_fused_payload(
+                interaction, positive_u, positive_i, topk_idx, rec_topk,
+                pos_score, n, n_pos,
+            )
+
+        return emit
 
     def _get_sampled_fused_fn(self, sst_list, n_users, row_cap, pos_cap,
                               times, top_k, with_neg):
