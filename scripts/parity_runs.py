@@ -44,6 +44,10 @@ HEADLINE = [
     "Underestimation Unfairness of sensitive attribute gender",
     "Overestimation Unfairness of sensitive attribute gender",
     "NonParity Unfairness of sensitive attribute gender",
+    # present only in the multi-attribute (_ga) runs; rows are skipped
+    # where a run has no such metric
+    "NonParity Unfairness of sensitive attribute age",
+    "Differential Fairness of sensitive attribute age",
 ]
 
 BASE_CFG = """\
@@ -433,7 +437,7 @@ def _flat_test_result(payload):
     if not isinstance(tr, dict):
         return {}
     if any(isinstance(v, dict) for v in tr.values()):  # PFCN per-subset
-        key = sorted(tr.keys())[0]
+        key = max(sorted(tr.keys()), key=len)  # full attr subset as headline
         return tr[key]
     if any(k.startswith("finetune-") for k in tr):  # FairGo dual eval
         return {k[len("finetune-"):]: v for k, v in tr.items()
@@ -453,8 +457,10 @@ _PFCN_FILTERED = ("PFCN_PMF_cm", "PFCN_PMF_sm", "PFCN_MLP", "PFCN_DMF",
 EXPLAINED = {(m, "*") for m in _PFCN_FILTERED} | {
     ("FairGo_PMF", "NonParity"),
     ("FairGo_PMF", "Differential Fairness"),
+    ("FairGo_PMF", "mrr"),
     ("FairGo_PMF_ga", "NonParity"),
     ("FairGo_PMF_ga", "Differential Fairness"),
+    ("FairGo_PMF_ga", "mrr"),
 }
 
 
@@ -606,9 +612,12 @@ first windows and are truncated at epochs 14–31, while 2021 inches upward
 just enough each window to survive, then climbs for 215 epochs to 0.193.
 The pinning artifact (`runs/parity/probe/*_nostop.json`,
 `scripts/pfcn_bimodality_probe.py`): rerunning "collapsed" seeds with
-early stopping disabled, they climb right out — seed 2020 reaches valid
-ndcg 0.166+ by epoch ~100 on the same config that early-stopped it at
-0.021. So the bimodality is the reference protocol's own
+early stopping disabled, they climb right out — seed 2020 reads 0.021 →
+0.038 (ep 50) → 0.077 (ep 100) → 0.173 (ep 200) → best 0.1997 (ep 299),
+and seed 2024 reads 0.018 → 0.068 (ep 100) → best 0.2026 (ep 299), both
+landing exactly in seed 2021's basin (0.193) on the same configs that
+early-stopped them at 0.021/0.024. There is ONE basin and a slow takeoff;
+the "bimodality" is the reference protocol's own
 early-stop × train_epoch_interval interaction sampling a slow-takeoff
 curve, not adversarial collapse; which side of it a seed lands on is RNG-
 stream-specific, which is why the criterion treats seeds as
@@ -733,7 +742,10 @@ def report():
         "|Δmean| ≤ 0.01 (absolute floor for metrics whose scale makes any",
         "shift immaterial). Rows that fail with a pinned cause are marked",
         "EXPLAINED (scoped per (model, metric) — see §Adjudications);",
-        "anything else reads DIVERGENT and fails the summary.",
+        "anything else reads DIVERGENT and fails the summary. Where the",
+        "seed counts give the exact test no rejection power at α=0.05",
+        "(min attainable p = 2/C(n+m,n) > 0.05), a passing row is labeled",
+        "`PASS (desc.)` — descriptive comparison, not a statistical claim.",
         "",
         "`*sb`: reference values from the small-batch dual-eval reruns",
         "(finite regime for the collector's negative-slice defect); the",
@@ -801,8 +813,16 @@ def report():
             om, osd = _mean_sd(ov)
             delta = abs(rm - om)
             p_val = _rank_sum_p(rv, ov)
+            from math import comb
+
+            # smallest p the exact test can produce at these sample sizes;
+            # above 0.05 the test has no rejection power and a PASS is
+            # descriptive, not statistical
+            p_floor = 2.0 / comb(len(rv) + len(ov), len(rv))
             if p_val >= 0.05 or delta <= 0.01:
                 verdict = "PASS"
+                if p_floor > 0.05 and delta > 0.01:
+                    verdict = "PASS (desc.)"
             elif _is_explained(model, metric):
                 verdict = "EXPLAINED"
             else:
