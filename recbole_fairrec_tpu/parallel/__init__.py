@@ -6,8 +6,12 @@ from .embedding import (
     sharded_gather,
 )
 from .eval import distributed_topk_scores
+from .spmm import pad_rows_to_shards, shard_propagation_matrix, sharded_propagate
 
 __all__ = [
+    "pad_rows_to_shards",
+    "shard_propagation_matrix",
+    "sharded_propagate",
     "batch_sharding",
     "make_mesh",
     "param_sharding",

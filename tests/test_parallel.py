@@ -418,3 +418,29 @@ def test_macro_scan_epoch_matches_single_step(tiny_data_path, tmp_path):
         np.asarray(params_1["user_embedding"]),
         np.asarray(params_k["user_embedding"]), atol=1e-5,
     )
+
+
+def test_sharded_propagation_matches_dense(mesh):
+    """Row-sharded A@x over the model axis equals the single-device matmul
+    (the FairGo dense-propagation operator beyond one chip)."""
+    import jax.numpy as jnp
+
+    from recbole_fairrec_tpu.parallel import (
+        shard_propagation_matrix, sharded_propagate,
+    )
+
+    rng = np.random.RandomState(5)
+    n, d = 37, 16  # deliberately not divisible by the model axis (2)
+    A = rng.rand(n, n).astype(np.float32) * (rng.rand(n, n) < 0.2)
+    x = rng.randn(n, d).astype(np.float32)
+
+    A_sharded = shard_propagation_matrix(mesh, jnp.asarray(A))
+    assert A_sharded.shape[0] % mesh.shape["model"] == 0
+    out = np.asarray(sharded_propagate(mesh, A_sharded, jnp.asarray(x)))
+    np.testing.assert_allclose(out, A @ x, rtol=1e-5, atol=1e-5)
+
+    # two hops (the FairGo n_layers loop shape)
+    out2 = np.asarray(
+        sharded_propagate(mesh, A_sharded, sharded_propagate(mesh, A_sharded, jnp.asarray(x)))
+    )
+    np.testing.assert_allclose(out2, A @ (A @ x), rtol=1e-4, atol=1e-4)
