@@ -136,6 +136,15 @@ class FairRecommender(AbstractRecommender):
         """Discriminator objective for adversarial models."""
         raise NotImplementedError
 
+    def loss_batch_fields(self, loss_name, sst_list=None):
+        """Batch keys the given loss reads — lets the trainer stage only
+        those lanes (host→device bytes dominate epoch wall time over the
+        TPU tunnel). None = ship every field. A wrong declaration surfaces
+        as a trace-time KeyError, which the trainer catches and retries
+        with full staging — declarations are an optimization, never a
+        correctness dependency."""
+        return None
+
     # Derived device-resident constants carried in MODEL STATE (e.g.
     # FairGo's dense propagation matrix): attach merges them in at init /
     # checkpoint load; strip removes them before serialization. Base
@@ -189,6 +198,11 @@ class FairRecommender(AbstractRecommender):
         then coincide).
         """
         feat = dataset.get_user_feature()
+        if sst_field not in feat:
+            # reference error contract (fairgo_pmf.py:96-98 and siblings)
+            raise ValueError(
+                f"{sst_field} sensitive attribute not in user feature"
+            )
         values = np.asarray(feat[sst_field])[1:]  # drop PAD row
         uniq = np.unique(values)
         lut = np.zeros(int(max(uniq.max(), 0)) + 1, dtype=np.int32)

@@ -103,6 +103,10 @@ class FOCF(FairRecommender):
 
     # ------------------------------------------------------------------ API
 
+    def loss_batch_fields(self, loss_name, sst_list=None):
+        return (self.USER_ID, self.ITEM_ID, self.RATING, self.SST_FIELD,
+                "__weight__")
+
     def calculate_loss(self, params, state, batch, rng=None, sst_list=None):
         users = batch[self.USER_ID]
         items = batch[self.ITEM_ID]

@@ -130,6 +130,10 @@ class NFCF(FairRecommender):
 
     # ------------------------------------------------------------------- API
 
+    def loss_batch_fields(self, loss_name, sst_list=None):
+        return (self.USER_ID, self.ITEM_ID, self.LABEL, self.sst_attr,
+                "__weight__")
+
     def calculate_loss(self, params, state, batch, rng=None, sst_list=None):
         user = batch[self.USER_ID]
         item = batch[self.ITEM_ID]

@@ -186,6 +186,10 @@ class PFCNBase(FairRecommender):
         """Backbone-specific raw (pos_score, neg_score, state') for BPR."""
         raise NotImplementedError
 
+    def loss_batch_fields(self, loss_name, sst_list=None):
+        return (self.USER_ID, self.ITEM_ID, self.POS_ITEM_ID, self.NEG_ITEM_ID,
+                *self.sst_attrs, "__weight__")
+
     def calculate_loss(self, params, state, batch, rng=None, sst_list=None):
         user = batch[self.USER_ID]
         pos_item = batch[self.POS_ITEM_ID]

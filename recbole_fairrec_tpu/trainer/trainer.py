@@ -151,6 +151,10 @@ class Trainer(AbstractTrainer):
 
         self._update_cache = {}
         self._eval_fn_cache = {}
+        # (loss, sst, tag) triples that must stage EVERY batch field — set
+        # when a model's loss_batch_fields declaration under-declares and
+        # the filtered trace KeyErrors (see _run_epoch)
+        self._stage_full = set()
 
         # Optional multi-chip execution: config['mesh_shape'] = [data, model]
         # activates declarative sharding — embedding tables row-sharded over
@@ -454,13 +458,28 @@ class Trainer(AbstractTrainer):
         canonical = _bucket(canonical)
         macro = self._macro_steps(len(train_data), canonical)
 
+        # Stage only the lanes this loss reads (host→device bytes dominate
+        # epoch time over the tunnel). A wrong declaration KeyErrors at
+        # trace time and we retry once with full staging for this triple.
+        filter_key = (loss_name, sst_list, tx_tag)
+        loss_fields = (
+            None if filter_key in self._stage_full
+            else self.model.loss_batch_fields(loss_name, sst_list)
+        )
+
+        def _staged(batch):
+            if loss_fields is None:
+                return batch
+            return {k: v for k, v in batch.items()
+                    if k in loss_fields or k == "__weight__"}
+
         def run_single(batch):
             nonlocal total_loss
             self.rng, step_rng = jax.random.split(self.rng)
             update = self._get_update_fn(loss_name, sst_list, tx_tag)
             loss, self.params, self.model_state, new_opt = update(
                 self.params, self.model_state, self._opt_state_by_tag(tx_tag),
-                step_rng, self._put_batch(batch),
+                step_rng, self._put_batch(_staged(batch)),
             )
             self._set_opt_state_by_tag(tx_tag, new_opt)
             # accumulate on device — a float() here would force a round-trip
@@ -472,7 +491,8 @@ class Trainer(AbstractTrainer):
             if len(chunk) == 1:
                 return run_single(chunk[0])
             stacked = self._put_batch(
-                {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}, stacked=True
+                {k: np.stack([b[k] for b in chunk]) for k in _staged(chunk[0])},
+                stacked=True,
             )
             # step keys are derived inside the scan by the SAME sequential
             # split chain as the per-step path, so macro batching is
@@ -486,26 +506,39 @@ class Trainer(AbstractTrainer):
             total_loss = loss if total_loss is None else total_loss + loss
 
         pending = []
-        for batch_idx, interaction in enumerate(train_data):
-            n = len(interaction)
-            pad_to = canonical if n <= canonical else _bucket(n)
-            # macro mode always carries __weight__ so every batch in a chunk
-            # has the same key set (weights of 1.0 are the identity in wmean)
-            batch = self._to_batch(
-                interaction, pad_to=pad_to, force_weight=macro > 1
+        try:
+            for batch_idx, interaction in enumerate(train_data):
+                n = len(interaction)
+                pad_to = canonical if n <= canonical else _bucket(n)
+                # macro mode always carries __weight__ so every batch in a
+                # chunk has the same key set (1.0 weights are the identity)
+                batch = self._to_batch(
+                    interaction, pad_to=pad_to, force_weight=macro > 1
+                )
+                if macro <= 1:
+                    run_single(batch)
+                    continue
+                if pending and pad_to != pending[0]["__weight__"].shape[0]:
+                    run_chunk(pending)
+                    pending = []
+                pending.append(batch)
+                if len(pending) == macro:
+                    run_chunk(pending)
+                    pending = []
+            if pending:
+                run_chunk(pending)
+        except KeyError as err:
+            if loss_fields is None:
+                raise
+            # under-declared loss_batch_fields: the error fires at trace
+            # time of the FIRST update (no optimizer step has applied), so
+            # a full-staging retry of the epoch is state-safe
+            self.logger.warning(
+                f"loss_batch_fields for {filter_key} missed {err}; "
+                "restaging epoch with all fields"
             )
-            if macro <= 1:
-                run_single(batch)
-                continue
-            if pending and pad_to != pending[0]["__weight__"].shape[0]:
-                run_chunk(pending)
-                pending = []
-            pending.append(batch)
-            if len(pending) == macro:
-                run_chunk(pending)
-                pending = []
-        if pending:
-            run_chunk(pending)
+            self._stage_full.add(filter_key)
+            return self._run_epoch(train_data, loss_name, sst_list, tx_tag)
         if total_loss is None:
             return None
         total = float(total_loss)  # single sync per epoch
