@@ -263,7 +263,7 @@ def _jsonable(obj):
     return obj
 
 
-def run_fairgo_dual(seed, smoke=False):
+def run_fairgo_dual(seed, smoke=False, cfg_key="FairGo_PMF"):
     """Full reference FairGo_PMF training run + in-process second test
     evaluation with eval_batch_size 2048 (the collector's valid
     single-user regime) → finite reference Value/Absolute/Underestimation
@@ -278,10 +278,10 @@ def run_fairgo_dual(seed, smoke=False):
     small-batch eval must reuse exactly those conditions, which only the
     training process itself can provide.
     """
-    std_tag = f"FairGo_PMF_ref_{seed}"
-    sb_tag = f"FairGo_PMF_sb_ref_{seed}"
+    std_tag = f"{cfg_key}_ref_{seed}"
+    sb_tag = f"{cfg_key}_sb_ref_{seed}"
     ckpt_dir = os.path.join(RUNS_DIR, "ckpt", std_tag + ("_smoke" if smoke else ""))
-    cfg_path = _write_cfg("FairGo_PMF", "ref", seed, ckpt_dir)
+    cfg_path = _write_cfg(cfg_key, "ref", seed, ckpt_dir)
     if smoke:
         with open(cfg_path, "a") as f:
             f.write("pretrain_epochs: 2\nepochs: 4\n")
@@ -316,7 +316,7 @@ def run_fairgo_dual(seed, smoke=False):
     if not smoke and not os.path.exists(std_path):
         with open(std_path, "w") as f:
             json.dump({
-                "run": "FairGo_PMF", "framework": "ref", "seed": seed,
+                "run": cfg_key, "framework": "ref", "seed": seed,
                 "device": "cpu", "wall_s": wall,
                 "best_valid_score": _jsonable(best_valid_score),
                 "best_valid_result": _jsonable(best_valid_result),
@@ -337,7 +337,7 @@ def run_fairgo_dual(seed, smoke=False):
     result_sb = trainer.evaluate(test_data_sb, load_best_model=True,
                                  show_progress=False)
     payload = {
-        "run": "FairGo_PMF_sb", "framework": "ref", "seed": seed,
+        "run": f"{cfg_key}_sb", "framework": "ref", "seed": seed,
         "device": "cpu", "wall_s": round(time.time() - t1, 1),
         "eval_batch_size": 2048, "trained_in_process": True,
         "best_valid_score": _jsonable(best_valid_score),
@@ -357,9 +357,10 @@ def run_fairgo_dual(seed, smoke=False):
 
 def run_one(run_key, framework, seed, device="cpu"):
     """Execute one training run in-process and dump its result JSON."""
-    if run_key == "FairGo_PMF_sb":
+    if run_key.endswith("_sb") and run_key.startswith("FairGo"):
         assert framework == "ref", "sb dual-eval targets the reference defect"
-        return run_fairgo_dual(seed, smoke=os.environ.get("PARITY_SMOKE") == "1")
+        return run_fairgo_dual(seed, smoke=os.environ.get("PARITY_SMOKE") == "1",
+                               cfg_key=run_key[: -len("_sb")])
     model = _model_name(run_key)
     tag = f"{run_key}_{framework}_{seed}" + ("" if device == "cpu" else f"_{device}")
     ckpt_dir = os.path.join(RUNS_DIR, "ckpt", tag)
@@ -711,9 +712,12 @@ def report():
 
     # FairGo small-batch dual-eval artifacts supply the reference side for
     # the three metrics the reference protocol NaNs out (collector slice
-    # defect) — attach them to the FairGo_PMF section rather than listing
-    # them as their own model.
-    sb_runs = rows.pop(("FairGo_PMF_sb", "ref"), [])
+    # defect) — attached to their parent model's section rather than
+    # listed as their own model.
+    sb_by_model = {
+        m: rows.pop((f"{m}_sb", "ref"), [])
+        for m in ("FairGo_PMF", "FairGo_PMF_ga")
+    }
     _SB_METRICS = ("Value Unfairness", "Absolute Unfairness",
                    "Underestimation Unfairness")
 
@@ -791,9 +795,9 @@ def report():
         lines.append("|---|---|---|---|---|---|---|---|")
         for metric in HEADLINE:
             ref_src, tag = ref_runs, ""
-            if (model == "FairGo_PMF" and sb_runs
+            if (sb_by_model.get(model)
                     and any(s in metric for s in _SB_METRICS)):
-                ref_src, tag = sb_runs, "*sb"
+                ref_src, tag = sb_by_model[model], "*sb"
             rv = [_flat_test_result(p).get(metric) for p in ref_src]
             ov = [_flat_test_result(p).get(metric) for p in our_runs]
             rv_nan = sum(1 for v in rv if v is not None and v != v)
