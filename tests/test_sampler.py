@@ -147,3 +147,52 @@ def test_bitmap_membership_equals_searchsorted(tiny_data_path):
     s2 = Sampler(["train", "valid", "test"], built, "uniform").set_phase("valid")
     s2._used_bits = None
     np.testing.assert_array_equal(with_bitmap, s2._membership(keys, vals))
+
+
+def test_repeatable_sampler_excludes_only_paired_positive(tiny_data_path):
+    from recbole_fairrec_tpu.sampler import RepeatableSampler
+
+    c, ds, built = _built(tiny_data_path)
+    s = RepeatableSampler(["train"], ds, "uniform").set_phase("train")
+    uids = np.arange(1, 11)
+    iids = np.arange(1, 11)
+    np.random.seed(9)
+    neg = s.sample_by_user_ids(uids, iids, 3)
+    assert len(neg) == 30 and neg.min() >= 1
+    # the k-th draw for pair i sits at i + k*len (strided layout) and must
+    # differ from that row's OWN positive only
+    tiled = np.tile(iids, 3)
+    assert (neg != tiled).all()
+
+
+def test_seq_sampler_positionwise(tiny_data_path):
+    from recbole_fairrec_tpu.sampler import SeqSampler
+
+    c, ds, built = _built(tiny_data_path)
+    s = SeqSampler(ds, "uniform")
+    pos = np.asarray(ds.inter_feat["item_id"])[:50]
+    np.random.seed(4)
+    neg = s.sample_neg_sequence(pos)
+    assert neg.shape == pos.shape
+    assert (neg != pos).all() and neg.min() >= 1
+
+
+def test_kg_sampler_excludes_known_tails():
+    from recbole_fairrec_tpu.sampler import KGSampler
+
+    class _KG:
+        head_entity_field = "head_id"
+        tail_entity_field = "tail_id"
+        head_entities = [1, 1, 2, 3, 3, 3]
+        tail_entities = [2, 3, 4, 1, 4, 5]
+        entity_num = 30
+
+    s = KGSampler(_KG(), "uniform")
+    np.random.seed(2)
+    heads = np.array([1, 3, 1, 2])
+    neg = s.sample_by_entity_ids(heads, num=4)
+    assert len(neg) == 16 and neg.min() >= 1
+    known = {(1, 2), (1, 3), (2, 4), (3, 1), (3, 4), (3, 5)}
+    tiled = np.tile(heads, 4)
+    for h, t in zip(tiled.tolist(), neg.tolist()):
+        assert (h, t) not in known
