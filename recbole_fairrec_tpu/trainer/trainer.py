@@ -388,6 +388,14 @@ class Trainer(AbstractTrainer):
         batch = {}
         for key, value in interaction.interaction.items():
             arr = np.asarray(value)
+            # jax (no-x64) canonicalizes int64→int32 / float64→float32 at
+            # device_put anyway; casting host-side halves the staged bytes
+            # (wire bytes bound epoch time over the tunnel) at identical
+            # device semantics
+            if arr.dtype == np.int64:
+                arr = arr.astype(np.int32)
+            elif arr.dtype == np.float64:
+                arr = arr.astype(np.float32)
             if target > n:
                 pad_width = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
                 arr = np.pad(arr, pad_width, mode="edge")
