@@ -102,3 +102,27 @@ def test_dict_like_access():
     assert c.epochs == c["epochs"]
     with pytest.raises(TypeError):
         _ = 3 in c
+
+
+def test_eval_macro_rows_deprecated_alias(tiny_data_path):
+    """The pre-r4 key `eval_macro_rows` still steers the sampled-eval macro
+    budget when the new key is unset (ADVICE r3 item 3)."""
+    from recbole_fairrec_tpu.config import Config
+    from recbole_fairrec_tpu.data import Dataset
+    from recbole_fairrec_tpu.trainer import Trainer
+    from recbole_fairrec_tpu.utils import get_model
+
+    cd = {
+        "data_path": str(tiny_data_path),
+        "load_col": {"inter": ["user_id", "item_id", "rating"],
+                     "user": ["user_id", "gender"]},
+        "eval_macro_rows_sampled": None,
+        "eval_macro_rows": 12345,
+    }
+    c = Config(model="PFCN_PMF", dataset="tiny", config_dict=cd)
+    ds = Dataset(c)
+    model = get_model("PFCN_PMF")(c, ds)
+    trainer = Trainer(c, model)
+    assert trainer._macro_rows_target() == 12345
+    c["eval_macro_rows"] = None
+    assert trainer._macro_rows_target() == 4_194_304  # yaml-aligned fallback
