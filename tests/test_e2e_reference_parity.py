@@ -180,3 +180,43 @@ def test_eval_matches_reference(bmk_path, tmp_path, ref_modules, mode):
         assert our_result[key] == pytest.approx(ref_result[key], abs=2e-4), (
             f"{key}: ours={our_result[key]} reference={ref_result[key]}"
         )
+
+
+def test_sampled_fused_equals_host_path(tiny_data_path, tmp_path):
+    """The fused uni100 device path (counts-derived lanes, one dispatch)
+    must produce metric dicts IDENTICAL to the unfused host scatter path
+    on the same negative draws (VERDICT r4 uni100 done-criterion)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from recbole_fairrec_tpu.config import Config
+    from recbole_fairrec_tpu.data import create_dataset, data_preparation
+    from recbole_fairrec_tpu.trainer import Trainer
+    from recbole_fairrec_tpu.utils import get_model, init_seed
+
+    config = Config(model="PFCN_PMF", dataset="tiny", config_dict={
+        "data_path": str(tiny_data_path),
+        "load_col": {"inter": ["user_id", "item_id", "rating"],
+                     "user": ["user_id", "gender"]},
+        "filter_mode": "none",
+        "metrics": ["NDCG", "Recall", "Hit", "MRR"],
+        "topk": [5], "valid_metric": "NDCG@5",
+        "eval_args": {"split": {"RS": [0.8, 0.1, 0.1]}, "order": "RO",
+                      "group_by": "user", "mode": "uni100"},
+        "checkpoint_dir": str(tmp_path), "show_progress": False,
+    })
+    init_seed(config["seed"], config["reproducibility"])
+    dataset = create_dataset(config)
+    _, valid_data, _ = data_preparation(config, dataset)
+    model = get_model("PFCN_PMF")(config, valid_data.dataset)
+    trainer = Trainer(config, model)
+
+    np.random.seed(123)  # same negative draws for both paths
+    fused = dict(trainer.evaluate(valid_data, load_best_model=False))
+
+    trainer._fused_eval_ok = lambda: False  # force the host scatter path
+    np.random.seed(123)
+    host = dict(trainer.evaluate(valid_data, load_best_model=False))
+
+    assert fused == host, {k: (fused[k], host[k]) for k in fused
+                           if fused[k] != host.get(k)}
