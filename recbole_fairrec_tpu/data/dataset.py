@@ -202,7 +202,7 @@ class Dataset:
 
     def _read_table(self, filepath, sep, head, columns, usecols, dtype, encoding):
         """Parse the atomic file: native single-pass reader when available
-        (native/fast_tsv.cpp), pandas otherwise. Identical output values."""
+        (recbole_fairrec_tpu/native/fast_tsv.cpp), pandas otherwise. Identical output values."""
         use_native = (
             self.config["fast_io"] is not False
             and len(sep) == 1

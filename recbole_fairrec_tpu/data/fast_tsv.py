@@ -17,7 +17,7 @@ from logging import getLogger
 import numpy as np
 
 _SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "native",
     "fast_tsv.cpp",
 )

@@ -220,10 +220,18 @@ class PFCNTrainer(Trainer):
         self.logger.info(f"Checkpoint loaded. Resume training from epoch {self.start_epoch}")
 
     def _save_sst_embed(self, data):
-        """Per-subset embedding exports (reference :1108-1131)."""
-        with open(self.saved_model_file, "rb") as f:
-            checkpoint = pickle.load(f)
-        self._load_params_from_checkpoint(checkpoint)
+        """Per-subset embedding exports (reference :1108-1131). Falls back
+        to current params when fit ran with saved=False (the reference
+        crashes reloading the never-saved checkpoint there)."""
+        if os.path.isfile(self.saved_model_file):
+            with open(self.saved_model_file, "rb") as f:
+                checkpoint = pickle.load(f)
+            self._load_params_from_checkpoint(checkpoint)
+        else:
+            self.logger.warning(
+                "save_sst_embed: no checkpoint on disk (fit ran with "
+                "saved=False); exporting CURRENT params, not best-valid."
+            )
         user_features = data.dataset.get_user_feature()[1:]
         if self.filter_mode != "none":
             for i in range(1, min(self.sst_num, 3) + 1):

@@ -672,10 +672,18 @@ class Trainer(AbstractTrainer):
 
     def _save_sst_embed(self, data):
         """Export user embeddings + sensitive attrs for offline attackers
-        (reference :242-256)."""
-        with open(self.saved_model_file, "rb") as f:
-            checkpoint = pickle.load(f)
-        self._load_params_from_checkpoint(checkpoint)
+        (reference :242-256). The reference reloads the best checkpoint
+        unconditionally and crashes under fit(saved=False); here we fall
+        back to the current in-memory params with a warning instead."""
+        if os.path.isfile(self.saved_model_file):
+            with open(self.saved_model_file, "rb") as f:
+                checkpoint = pickle.load(f)
+            self._load_params_from_checkpoint(checkpoint)
+        else:
+            self.logger.warning(
+                "save_sst_embed: no checkpoint on disk (fit ran with "
+                "saved=False); exporting CURRENT params, not best-valid."
+            )
         user_features = data.dataset.get_user_feature()
         stored = self.model.get_sst_embed(
             self.params, self.model_state, user_features[1:]

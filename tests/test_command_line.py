@@ -49,3 +49,24 @@ def test_duplicate_cmd_arg_rejected(tmp_path):
     )
     assert out.returncode != 0
     assert "duplicate" in (out.stderr + out.stdout).lower()
+
+
+def test_packaging_console_entry():
+    """Packaging surface (reference setup.py:41-43): pyproject.toml installs a
+    `run_recbole` console script bound to recbole_fairrec_tpu.cli:main, and the
+    package data (properties yamls, native source) resolves from the package."""
+    import recbole_fairrec_tpu
+    from recbole_fairrec_tpu import cli
+    from recbole_fairrec_tpu.data import fast_tsv
+
+    assert callable(cli.main)
+    pkg_dir = os.path.dirname(recbole_fairrec_tpu.__file__)
+    assert os.path.isfile(os.path.join(pkg_dir, "config", "properties", "overall.yaml"))
+    assert os.path.isfile(fast_tsv._SRC)  # native reader source ships inside the package
+
+    import tomllib
+    with open(os.path.join(REPO, "pyproject.toml"), "rb") as fh:
+        meta = tomllib.load(fh)
+    assert meta["project"]["name"] == "recbole_fairrec_tpu"
+    assert meta["project"]["version"] == recbole_fairrec_tpu.__version__
+    assert meta["project"]["scripts"]["run_recbole"] == "recbole_fairrec_tpu.cli:main"
