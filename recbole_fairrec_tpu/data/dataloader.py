@@ -405,6 +405,21 @@ class NegSampleEvalDataLoader(_NegSamplingLoader):
         # must pass them through instead of re-concatenating
         self._macro_sized = True
 
+    def reset_macro_rows(self):
+        """Undo set_macro_rows: restore the config-derived step/batch_size.
+
+        Called by the trainer when an evaluation cannot take the fused
+        path — without this, the sticky macro sizing would feed worst-case
+        macro batches (millions of rows) to the host scoring path, which
+        was never sized for them (ADVICE r4)."""
+        if not getattr(self, "_macro_sized", False):
+            return
+        old_step = self.step
+        self._init_batch_size_and_step()
+        if self.step != old_step:
+            self._expand_cache.clear()
+        self._macro_sized = False
+
     @property
     def pr_end(self):
         if self.neg_spec.strategy == "by":
@@ -462,6 +477,15 @@ class NegSampleEvalDataLoader(_NegSamplingLoader):
                 # rows are uid-sorted: the batch positives are the slice
                 "positive_i": items_all.astype(np.int64),
             }
+            # the cached arrays are shared BY REFERENCE across every batch
+            # emitted for this window (and across epochs); freeze them so an
+            # accidental in-place write fails loudly instead of silently
+            # corrupting later batches (ADVICE r4)
+            for arr in skel["fields"].values():
+                arr.setflags(write=False)
+            for key in ("labels", "neg_mask", "users_all", "items_all",
+                        "row_idx", "positive_u", "positive_i"):
+                skel[key].setflags(write=False)
             self._expand_cache[cache_key] = skel
 
         # negatives are still drawn with one sampler call per user IN USER

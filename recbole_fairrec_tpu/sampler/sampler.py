@@ -20,6 +20,7 @@ the rejection loop runs over whole arrays. A fully on-device variant lives in
 from __future__ import annotations
 
 import copy
+import os
 
 import numpy as np
 
@@ -98,8 +99,14 @@ class AbstractSampler:
 
     # key spaces up to this many BITS get a packed-bitmap membership table
     # (ml-1M: 6040×3706 ≈ 22 Mbit = 2.8 MB); larger spaces keep the sorted
-    # searchsorted path
-    _BITMAP_MAX_BITS = 1 << 31
+    # searchsorted path. Capped at 2^28 bits = 32 MB of host RAM per phase
+    # (one cached bitmap per train/valid/test phase, so 96 MB worst case) —
+    # searchsorted is a perfectly good fallback above that (ADVICE r4
+    # flagged the old 2^31 cap: 256 MB/phase). Override via the
+    # RECBOLE_FAIRREC_TPU_BITMAP_MAX_BITS env var for huge-RAM hosts.
+    _BITMAP_MAX_BITS = int(
+        os.environ.get("RECBOLE_FAIRREC_TPU_BITMAP_MAX_BITS", 1 << 28)
+    )
 
     @classmethod
     def _pack_used_bits(cls, keys: np.ndarray, total_bits: int):

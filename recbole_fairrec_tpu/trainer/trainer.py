@@ -474,6 +474,14 @@ class Trainer(AbstractTrainer):
             None if filter_key in self._stage_full
             else self.model.loss_batch_fields(loss_name, sst_list)
         )
+        # Snapshot RNG state for the KeyError full-staging retry below: by
+        # the time the filtered trace fails, the loader has consumed the
+        # numpy stream (negative draws) and run_single split self.rng, so a
+        # retry without restore would not be bit-identical to a clean
+        # full-staged epoch (ADVICE r4).
+        if loss_fields is not None:
+            np_rng_snapshot = np.random.get_state()
+            jax_rng_snapshot = self.rng
 
         def _staged(batch):
             if loss_fields is None:
@@ -539,13 +547,16 @@ class Trainer(AbstractTrainer):
             if loss_fields is None:
                 raise
             # under-declared loss_batch_fields: the error fires at trace
-            # time of the FIRST update (no optimizer step has applied), so
-            # a full-staging retry of the epoch is state-safe
+            # time of the FIRST update (no optimizer step has applied);
+            # restoring the RNG snapshots makes the full-staging retry
+            # bit-identical to a clean full-staged epoch
             self.logger.warning(
                 f"loss_batch_fields for {filter_key} missed {err}; "
                 "restaging epoch with all fields"
             )
             self._stage_full.add(filter_key)
+            np.random.set_state(np_rng_snapshot)
+            self.rng = jax_rng_snapshot
             return self._run_epoch(train_data, loss_name, sst_list, tx_tag)
         if total_loss is None:
             return None
@@ -1370,6 +1381,10 @@ class Trainer(AbstractTrainer):
                 eval_data.set_macro_rows(
                     self._macro_rows_target()
                 )
+            elif hasattr(eval_data, "reset_macro_rows"):
+                # a previous fused evaluate may have macro-sized this loader;
+                # the host scoring path is not sized for those batches
+                eval_data.reset_macro_rows()
             self._sampled_user_pad = eval_data.step
             self._eval_row_cap = eval_data.batch_size
         if self.config["eval_type"] == EvaluatorType.RANKING:
