@@ -491,15 +491,25 @@ class NegSampleEvalDataLoader(_NegSamplingLoader):
         # negatives are still drawn with one sampler call per user IN USER
         # ORDER (the numpy RNG stream is reference parity surface,
         # general_dataloader.py:119-158)
-        users_all, items_all = skel["users_all"], skel["items_all"]
-        negs = [
-            self.sampler.sample_by_user_ids(
-                users_all[int(l) - base : int(h) - base],
-                items_all[int(l) - base : int(h) - base],
-                sample_num,
-            )
-            for l, h in zip(lo, hi)
-        ]
+        draw_one = getattr(self.sampler, "sample_one_key", None)
+        if draw_one is not None:
+            # identical draw sequence, ~2× less per-call python overhead
+            # (this loop IS the uni100 eval wall-time floor; see bench.py)
+            uids = self.segments.uid[j0:j1]
+            negs = [
+                draw_one(int(u), int(h - l) * sample_num)
+                for u, l, h in zip(uids, lo, hi)
+            ]
+        else:
+            users_all_k, items_all_k = skel["users_all"], skel["items_all"]
+            negs = [
+                self.sampler.sample_by_user_ids(
+                    users_all_k[int(l) - base : int(h) - base],
+                    items_all_k[int(l) - base : int(h) - base],
+                    sample_num,
+                )
+                for l, h in zip(lo, hi)
+            ]
 
         fields = dict(skel["fields"])
         item_col = skel["fields"][self.iid_field].copy()

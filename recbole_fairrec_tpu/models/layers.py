@@ -144,6 +144,8 @@ def apply_mlp(
     bn_momentum=0.1,
     bn_eps=1e-5,
     sample_weight=None,
+    bn_segments=None,
+    bn_num_segments=None,
 ):
     """Forward an MLPLayers stack.
 
@@ -152,6 +154,14 @@ def apply_mlp(
     restricts BatchNorm batch statistics to real rows — padded rows would
     otherwise poison the variance (a tail batch padded 10× collapses var→0,
     and the resulting amplification overflows deep BN stacks).
+
+    ``bn_segments`` ([B] int ids + static ``bn_num_segments``) switches BN
+    to SEGMENT-wise batch statistics (biased var, torch normalization
+    semantics) regardless of ``train`` — the reference-defect emulation
+    mode: the reference's filter MLPs are unregistered submodules
+    (pfcn_mlp.py:104-120), so model.eval() never reaches them and their BN
+    runs on batch statistics over each one-user eval batch forever; a
+    segment per user reproduces that regime inside one fused dispatch.
     """
     use_bn = "bn" in params
     state = state or {}
@@ -169,7 +179,27 @@ def apply_mlp(
         if use_bn:
             gamma, beta = params["bn"][i]["gamma"], params["bn"][i]["beta"]
             run = state["bn"][i]
-            if train:
+            if bn_segments is not None:
+                # per-segment biased mean/var (one segment = one reference
+                # eval batch); running stats untouched — the reference's
+                # train-mode BN updates them during eval, but they are
+                # never read afterwards (the filters never leave train
+                # mode), so the update is unobservable
+                seg_n = jax.ops.segment_sum(
+                    jnp.ones((x.shape[0],), x.dtype), bn_segments,
+                    num_segments=bn_num_segments,
+                )[:, None]
+                seg_sum = jax.ops.segment_sum(
+                    x, bn_segments, num_segments=bn_num_segments
+                )
+                seg_mean = seg_sum / jnp.maximum(seg_n, 1.0)
+                seg_var = jax.ops.segment_sum(
+                    x * x, bn_segments, num_segments=bn_num_segments
+                ) / jnp.maximum(seg_n, 1.0) - seg_mean**2
+                mean = seg_mean[bn_segments]
+                var = jnp.maximum(seg_var[bn_segments], 0.0)
+                new_bn_state.append(run)
+            elif train:
                 if sample_weight is not None:
                     w = sample_weight.astype(x.dtype)[:, None]
                     n = jnp.maximum(jnp.sum(w), 1.0)

@@ -55,6 +55,10 @@ class PFCNBase(FairRecommender):
         if self.filter_mode not in ("cm", "sm", "none"):
             raise AssertionError("filter_mode must be cm, sm or none")
         self.filter_num, self.sst_dict = self._get_filter_info()
+        # Reference-defect emulation: eval-time filter BN on per-user batch
+        # statistics (static model config — part of every jit cache key via
+        # the method closures)
+        self._ref_bn_emulation = bool(config["reference_bn_eval_emulation"])
         if self.filter_mode != "none":
             self.dis_drop_out = config["dis_dropout"]
             self.dis_weight = config["dis_weight"]
@@ -120,11 +124,23 @@ class PFCNBase(FairRecommender):
     # -------------------------------------------------------------- filters
 
     def _apply_filters(self, params, state, user_embed, sst_list, train, rng,
-                       sample_weight=None):
-        """Filtered user embedding per filter_mode; returns (embed, state')."""
+                       sample_weight=None, segments=None):
+        """Filtered user embedding per filter_mode; returns (embed, state').
+
+        ``segments`` (eval-only; row→user ids) switches the filter BN to
+        per-user-batch statistics — the reference-defect emulation mode
+        (``reference_bn_eval_emulation``): the reference's filters are
+        unregistered submodules whose BN runs on batch statistics forever
+        (pfcn_mlp.py:104-120 + trainer.py:965-1106's one-user eval
+        batches), annihilating the user representation at eval. See
+        PARITY_RUNS.md §Adjudications."""
         new_state = dict(state)
         if self.filter_mode == "none" or not sst_list:
             return user_embed, new_state
+        bn_kw = {}
+        if segments is not None and not train:
+            bn_kw = {"bn_segments": segments.astype(jnp.int32),
+                     "bn_num_segments": self.n_users}
         filt_state = dict(state.get("filters", {}))
         if self.filter_mode == "sm":
             idx = sum(self.sst_dict[s] for s in sst_list)
@@ -132,7 +148,7 @@ class PFCNBase(FairRecommender):
             out, st = apply_mlp(
                 params["filters"][key], user_embed,
                 activation=self.activation, state=filt_state[key],
-                train=train, rng=rng, sample_weight=sample_weight,
+                train=train, rng=rng, sample_weight=sample_weight, **bn_kw,
             )
             filt_state[key] = st
         else:  # cm: average over selected filters, divide by TOTAL count
@@ -142,7 +158,7 @@ class PFCNBase(FairRecommender):
                 o, st = apply_mlp(
                     params["filters"][key], user_embed,
                     activation=self.activation, state=filt_state[key],
-                    train=train, rng=rng, sample_weight=sample_weight,
+                    train=train, rng=rng, sample_weight=sample_weight, **bn_kw,
                 )
                 filt_state[key] = st
                 out = o if out is None else out + o

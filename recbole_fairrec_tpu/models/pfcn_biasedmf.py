@@ -36,8 +36,10 @@ class PFCN_BiasedMF(PFCNBase):
                          sample_weight=None):
         user_e = self.lookup(params["user_embedding"], user)
         item_e = self.lookup(params["item_embedding"], item) if item is not None else None
+        seg = user if (self._ref_bn_emulation and not train) else None
         user_e, state = self._apply_filters(
-            params, state, user_e, sst_list, train, rng, sample_weight
+            params, state, user_e, sst_list, train, rng, sample_weight,
+            segments=seg,
         )
         return user_e, item_e, state
 

@@ -69,8 +69,10 @@ class PFCN_DMF(PFCNBase):
         item_e = None
         if item is not None:
             item_e = self._tower(params, "item_mlp", self.lookup(params["item_embedding"], item), train, r2)
+        seg = user if (self._ref_bn_emulation and not train) else None
         user_e, state = self._apply_filters(
-            params, state, user_e, sst_list, train, r3, sample_weight
+            params, state, user_e, sst_list, train, r3, sample_weight,
+            segments=seg,
         )
         return user_e, item_e, state
 

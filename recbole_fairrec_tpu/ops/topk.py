@@ -64,3 +64,26 @@ def streaming_topk_scores(user_emb, item_table, top_k, tile=4096):
         step, init, (jnp.arange(n_tiles, dtype=jnp.int32), tiles)
     )
     return best_s, best_i
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "recall_target"))
+def approx_topk_scores(user_emb, item_table, top_k, recall_target=0.95):
+    """Approximate-retrieval top-k via the TPU-native partial reduce.
+
+    ``jax.lax.approx_max_k`` lowers to the TPU PartialReduce op, which runs
+    at near memory speed — the serving-scale retrieval path where exact
+    per-tile k-selection (``streaming_topk_scores`` / the Pallas kernel)
+    is VPU-bound on its merge passes. Recall is probabilistic
+    (``recall_target``); production recsys retrieval standardly trades
+    exactness here and re-scores the candidate set exactly. The [B, I]
+    score matrix IS materialized ([128, 2M] f32 = 1 GB — fine in HBM at
+    serving block sizes; shard or tile the user axis beyond that).
+
+    PAD masking matches the exact paths: item 0 can never win.
+    """
+    scores = jnp.dot(
+        user_emb, item_table.T, preferred_element_type=jnp.float32
+    )
+    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(iota == 0, -jnp.inf, scores)
+    return jax.lax.approx_max_k(scores, top_k, recall_target=recall_target)

@@ -153,6 +153,33 @@ class AbstractSampler:
         bad = ((u_lab == 0) & (i_lab == 1)) | ((u_lab == 1) & (i_lab == 0)) | (i_lab == -1)
         return bad
 
+    def _probe_int64(self, keys: np.ndarray) -> np.ndarray:
+        """Membership probe with int64 keys (no uint64 temporaries) — the
+        uni100 hot path makes ~3 probes per user and python/temporary
+        overhead dominates the numpy work at that call granularity."""
+        bits = getattr(self, "_used_bits", None)
+        if bits is not None:
+            return (bits[keys >> 3] >> (keys & 7)) & 1 != 0
+        return self._probe_keys(keys.astype(np.uint64))
+
+    def sample_one_key(self, key: int, total_num: int) -> np.ndarray:
+        """Single-key fast path (uni100 eval: one call per user) — the
+        packed key is a scalar offset; the draw sequence is IDENTICAL to
+        ``sample_by_key_ids`` (same ``sampling()`` call sizes in the same
+        order, pinned by tests/test_sampler.py), only the per-call python
+        overhead differs. ``key*stride + value`` stays well inside int64
+        (key, value < 2^31)."""
+        if self.user_group_label is not None:
+            return self.sample_by_key_ids(np.full(1, key), total_num)
+        base = int(key) * self._stride
+        value_ids = self.sampling(total_num)
+        idx = np.nonzero(self._probe_int64(base + value_ids))[0]
+        while len(idx):
+            resampled = self.sampling(len(idx))
+            value_ids[idx] = resampled
+            idx = idx[self._probe_int64(base + resampled)]
+        return value_ids.astype(np.int64, copy=False)
+
     def sample_by_key_ids(self, key_ids, num: int) -> np.ndarray:
         """Sample ``num`` value ids per key id, excluding used pairs.
 
@@ -167,17 +194,7 @@ class AbstractSampler:
             and key_num
             and (key_ids == key_ids[0]).all()
         ):
-            # single-key fast path (uni100 eval: one call per user) — the
-            # packed key is a scalar offset; draw sequence is IDENTICAL to
-            # the general path (same sampling() calls in the same order)
-            base = np.uint64(int(key_ids[0]) * self._stride)
-            value_ids = self.sampling(total_num)
-            idx = np.nonzero(self._probe_keys(base + value_ids.astype(np.uint64)))[0]
-            while len(idx):
-                resampled = self.sampling(len(idx))
-                value_ids[idx] = resampled
-                idx = idx[self._probe_keys(base + resampled.astype(np.uint64))]
-            return value_ids.astype(np.int64)
+            return self.sample_one_key(int(key_ids[0]), total_num)
         tiled_keys = np.tile(key_ids, num)
         value_ids = self.sampling(total_num)
         bad = self._membership(tiled_keys, value_ids) | self._group_violation(
@@ -301,6 +318,10 @@ class RepeatableSampler(AbstractSampler):
 
     def get_used_ids(self):
         return np.array([set() for _ in range(self.user_num)])
+
+    # not key-ids based: exclusion is the paired positive, so the single-key
+    # fast path does not apply (dataloader checks this attribute)
+    sample_one_key = None
 
     def sample_by_user_ids(self, user_ids, item_ids, num):
         """Negatives must only differ from the paired positive."""

@@ -1105,7 +1105,7 @@ class Trainer(AbstractTrainer):
         """
         from ..data.interaction import cat_interactions
 
-        target_scores = self.config["eval_macro_scores"] or 16_000_000
+        target_scores = self.config["eval_macro_scores"] or 32_000_000
         max_users = max(1, target_scores // max(self.tot_item_num or 1, 1))
         if kind == "full":
             target_rows = None

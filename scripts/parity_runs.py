@@ -201,6 +201,25 @@ pretrain_epochs: 60
 epochs: 100
 """,
 }
+
+# Defect-emulation runs (VERDICT r4 item 3): OURS-ONLY reruns of the four
+# filtered PFCN configurations with `reference_bn_eval_emulation: True` —
+# eval-time filter BN on per-user batch statistics, reproducing the
+# reference's degenerate eval regime bit-for-bit (tests/test_loss_parity.py::
+# test_segment_bn_matches_reference_train_mode_per_user_batches). The whole
+# training runs under the flag, so early stopping sees the same degenerate
+# valid-metric stream the reference's runs did. The report compares each
+# `X_refbn` ours row against the PARENT `X` reference runs — a DIRECT
+# trained-metric comparison for the filtered variants the fixed-eval tables
+# can only adjudicate as EXPLAINED.
+_REFBN_PARENTS = {
+    "PFCN_PMF_cm_refbn": "PFCN_PMF_cm",
+    "PFCN_PMF_sm_refbn": "PFCN_PMF_sm",
+    "PFCN_MLP_refbn": "PFCN_MLP",
+    "PFCN_DMF_refbn": "PFCN_DMF",
+}
+for _rk, _parent in _REFBN_PARENTS.items():
+    MODEL_CFG[_rk] = MODEL_CFG[_parent] + "reference_bn_eval_emulation: True\n"
 # Run key "FairGo_PMF_sb" (no MODEL_CFG entry) is the dual-eval driver
 # run_fairgo_dual: a full reference FairGo_PMF training run whose test set
 # is evaluated twice — at the protocol eval_batch_size 16384 and again at
@@ -220,6 +239,8 @@ SEEDS = [2020, 2021, 2022, 2023, 2024]
 
 
 def _model_name(run_key):
+    if run_key in _REFBN_PARENTS:
+        return _model_name(_REFBN_PARENTS[run_key])
     return {"PFCN_PMF_cm": "PFCN_PMF", "PFCN_PMF_sm": "PFCN_PMF",
             "PFCN_PMF_cm_ga": "PFCN_PMF", "PFCN_PMF_sm_ga": "PFCN_PMF",
             "FairGo_PMF_ga": "FairGo_PMF",
@@ -446,28 +467,42 @@ def _flat_test_result(payload):
     return tr
 
 
-# (run_key, metric-substring) pairs whose out-of-bound rows have a pinned
-# cause (see _ADJUDICATIONS): those rows read EXPLAINED, not DIVERGENT, and
-# don't fail the summary. Scoped per metric (ADVICE r3 item 2) so an
-# unadjudicated metric in the same model still fails the summary. "*" covers
-# every metric — used only for the PFCN BN-eval degeneracy, which poisons
-# EVERY reference metric of filter-bearing PFCN variants (all predictions
-# are sigmoid(0)=0.5 → index-order top-k).
+# (run_key, metric-substring) → justification for rows whose out-of-bound
+# statistic has a pinned cause (see _ADJUDICATIONS): those rows read
+# EXPLAINED, not DIVERGENT, and don't fail the summary. Scoped per metric
+# (ADVICE r3 item 2) so an unadjudicated metric in the same model still
+# fails the summary. Every "*" (all-metric) entry MUST carry a justification
+# string (VERDICT r4 item 4); "*" is used only where the two frameworks'
+# eval computations differ BY CONSTRUCTION for every metric — the fixed-eval
+# vs degenerate-eval PFCN tables. The `X_refbn` sections restore a direct
+# PASS/DIVERGENT comparison for exactly those configurations by emulating
+# the reference's defective eval on our side.
 _PFCN_FILTERED = ("PFCN_PMF_cm", "PFCN_PMF_sm", "PFCN_MLP", "PFCN_DMF",
                   "PFCN_PMF_cm_ga", "PFCN_PMF_sm_ga")
-EXPLAINED = {(m, "*") for m in _PFCN_FILTERED} | {
-    ("FairGo_PMF", "NonParity"),
-    ("FairGo_PMF", "Differential Fairness"),
-    ("FairGo_PMF", "mrr"),
-    ("FairGo_PMF_ga", "NonParity"),
-    ("FairGo_PMF_ga", "Differential Fairness"),
-    ("FairGo_PMF_ga", "mrr"),
-}
+_PFCN_BN_WHY = (
+    "fixed-eval ours vs BN-degenerate reference eval: every reference "
+    "metric is computed from the annihilated-filter scorer "
+    "(pfcn_mlp.py:104-120); the direct comparison lives in the _refbn "
+    "emulated-eval section"
+)
+EXPLAINED = {(m, "*"): _PFCN_BN_WHY for m in _PFCN_FILTERED}
+EXPLAINED.update({
+    (m, sub): why
+    for m in ("FairGo_PMF", "FairGo_PMF_ga")
+    for sub, why in (
+        ("NonParity", "adversarial equilibrium level differs under disjoint "
+                      "RNG streams; ours is strictly fairer (lower) — see "
+                      "§Adjudications FairGo equilibrium"),
+        ("Differential Fairness", "same equilibrium-level cause as NonParity"),
+        ("mrr", "driven by ref seed 2022's collapsed run (0.006 ndcg); see "
+                "§Adjudications FairGo equilibrium"),
+    )
+})
 
 
 def _is_explained(model, metric):
     return (model, "*") in EXPLAINED or any(
-        m == model and sub in metric for m, sub in EXPLAINED if sub != "*"
+        m == model and sub in metric for (m, sub) in EXPLAINED if sub != "*"
     )
 
 _ADJUDICATIONS = """\
@@ -494,12 +529,17 @@ The reference stores its filter/discriminator MLPs in plain python dicts
 (`pfcn_mlp.py:104-120` and siblings), so they are NOT registered submodules:
 `model.eval()` never reaches them and their BatchNorm layers (`bn=True`,
 `init_filter`) run on BATCH statistics forever. In the sampled-eval regime
-(one user's rows per batch) every filter input row is that user's same
-embedding, so each BN feature normalizes identical values to exactly zero
-— the filtered USER representation is annihilated at eval. What remains
-depends on the head: the dot-product heads (PFCN_PMF) score 0 everywhere,
-sigmoid(0)=0.5, and torch.topk over constant scores falls back to
-index order (NonParity exactly 0.0 in the PMF reference runs; asserted in
+(one user's rows per batch — measured in-process r5: every reference eval
+batch holds exactly 1 user) every filter input row is that user's same
+embedding, so each BN feature normalizes identical values to zero and the
+layer outputs its bias: the filter output collapses to
+leakyrelu(beta_last) — a single trained vector, IDENTICAL for every user
+(measured on a trained reference PFCN_PMF cm run: |filtered embedding|
+< 8e-4 on every row, the trained betas ≈ −0.07 crushed by leakyrelu's
+0.01 slope). What remains depends on the head: the dot-product heads
+(PFCN_PMF) score sigmoid(⟨leakyrelu(beta), item⟩) ≈ 0.5 ± 0.003 — a
+near-constant, user-independent item scorer whose 4-decimal NonParity
+reads exactly 0.0 (asserted untrained in
 `tests/test_e2e_adversarial_parity.py::test_pfcn_subset_keying_matches_reference`);
 the MLP/DMF heads still see the item side (concat-MLP / item tower), so
 the reference evaluates a USER-INDEPENDENT item-only scorer — every user
@@ -511,8 +551,17 @@ invisible to the reference's own eval.
 Position: we match the FIXED reference — our filters/discriminators are real
 submodule state and eval applies the running-stats semantics the reference's
 own `model.eval()` call requests. Consequently PFCN metric MEANS differ from
-the reference by construction, and the table rows are EXPLAINED rather than
-PASS/DIVERGENT. What IS pinned against the reference:
+the reference by construction, and the main table rows are EXPLAINED rather
+than PASS/DIVERGENT. NEW in r5, the blanket is closed from the other side:
+the `*_refbn` sections above retrain ours under
+`reference_bn_eval_emulation: True` — eval-time filter BN on per-user
+batch statistics (`models/layers.py::apply_mlp(bn_segments=…)`), proven
+bit-equal to the reference's train-mode BN fed one-user batches
+(`tests/test_loss_parity.py::test_segment_bn_matches_reference_train_mode_per_user_batches`)
+— so both sides evaluate the SAME degenerate scorer and the rank-sum
+verdict is DIRECT (DIVERGENT reachable; the early-stop dynamics also match
+since the whole training sees the degenerate valid stream). What IS pinned
+against the reference besides those sections:
 - training math: loss values (`tests/test_loss_parity.py`, 18 cases),
   gradients, and multi-epoch SGD trajectories
   (`tests/test_trajectory_parity.py`) agree to float noise;
@@ -721,6 +770,15 @@ def report():
     _SB_METRICS = ("Value Unfairness", "Absolute Unfairness",
                    "Underestimation Unfairness")
 
+    # ours-side emulated-defect reruns pair against the PARENT's reference
+    # runs (both sides then evaluate the reference's degenerate regime)
+    refbn_by_parent = {}
+    for rk, parent in _REFBN_PARENTS.items():
+        runs = rows.pop((rk, "ours"), [])
+        if runs:
+            refbn_by_parent[parent] = runs
+        rows.pop((rk, "ref"), None)  # never run; guard against stray files
+
     lines = [
         "# PARITY_RUNS — golden training-parity numbers",
         "",
@@ -846,6 +904,54 @@ def report():
             f"ours {our_t:.0f}s ({our_dev})"
         )
         lines.append("")
+
+        refbn_runs = refbn_by_parent.get(model, [])
+        if refbn_runs:
+            lines.append(
+                f"### {model} — emulated-defect eval "
+                f"(ours refbn ×{len(refbn_runs)} vs ref ×{len(ref_runs)}): "
+                "DIRECT comparison"
+            )
+            lines.append("")
+            lines.append(
+                "Ours retrained under `reference_bn_eval_emulation: True` "
+                "(eval-time filter BN on per-user batch statistics — "
+                "bit-equal to the reference's unregistered-filter regime, "
+                "pinned by tests/test_loss_parity.py::test_segment_bn_*). "
+                "Both sides now evaluate the SAME degenerate scorer, so the "
+                "rank-sum verdict is direct — no EXPLAINED adjudication "
+                "applies here and DIVERGENT is reachable."
+            )
+            lines.append("")
+            lines.append("| metric | ref seeds | ours(refbn) seeds | ref mean±sd | ours mean±sd | Δ | p | verdict |")
+            lines.append("|---|---|---|---|---|---|---|---|")
+            for metric in HEADLINE:
+                rv = [_flat_test_result(p).get(metric) for p in ref_runs]
+                ov = [_flat_test_result(p).get(metric) for p in refbn_runs]
+                rv = [v for v in rv if v is not None and v == v]
+                ov = [v for v in ov if v is not None and v == v]
+                if not rv or not ov:
+                    continue
+                rm, rsd = _mean_sd(rv)
+                om, osd = _mean_sd(ov)
+                delta = abs(rm - om)
+                p_val = _rank_sum_p(rv, ov)
+                from math import comb
+
+                p_floor = 2.0 / comb(len(rv) + len(ov), len(rv))
+                if p_val >= 0.05 or delta <= 0.01:
+                    verdict = "PASS"
+                    if p_floor > 0.05 and delta > 0.01:
+                        verdict = "PASS (desc.)"
+                else:
+                    verdict = "DIVERGENT"
+                    summary_pass = False
+                lines.append(
+                    f"| {metric} | {_fmt_seeds(rv)} | {_fmt_seeds(ov)} "
+                    f"| {rm:.4f}±{rsd:.4f} | {om:.4f}±{osd:.4f} "
+                    f"| {delta:.4f} | {p_val:.3f} | {verdict} |"
+                )
+            lines.append("")
     lines.append(
         "**Overall: "
         + ("PASS (with adjudicated EXPLAINED rows)" if summary_pass

@@ -234,3 +234,53 @@ def test_fairgo_dual_eval_key_sets(ref_recbole, data_root, tmp_path):
     assert any(k.startswith("finetune-") for k in ref_keys)
     for k in our_keys:
         assert np.isfinite(our_res["test_result"][k])
+
+
+def test_ref_bn_emulation_user_independent_scores(tiny_data_path):
+    """With reference_bn_eval_emulation, eval-time predict collapses to a
+    user-independent item scorer — the reference's degenerate regime (its
+    PMF eval scores are sigmoid(dot(leakyrelu(beta_last), item)), the same
+    value for every user scoring the same item; measured on the reference:
+    scores 0.5±0.003, filtered embedding |x| < 1e-3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from recbole_fairrec_tpu.config import Config
+    from recbole_fairrec_tpu.data import create_dataset, data_preparation
+    from recbole_fairrec_tpu.utils import get_model, init_seed
+
+    config = Config(
+        model="PFCN_PMF", dataset="tiny",
+        config_dict={
+            "data_path": str(tiny_data_path), "use_gpu": False,
+            "load_col": {"inter": ["user_id", "item_id", "rating"],
+                         "user": ["user_id", "gender"]},
+            "filter_mode": "cm", "reference_bn_eval_emulation": True,
+            "show_progress": False,
+        },
+    )
+    init_seed(config["seed"], config["reproducibility"])
+    dataset = create_dataset(config)
+    train_data, _, _ = data_preparation(config, dataset)
+    model = get_model("PFCN_PMF")(config, train_data.dataset)
+    params, state = model.init_params(jax.random.PRNGKey(0))
+
+    # three different users' uni100-style row blocks over the SAME items
+    items = jnp.asarray([5, 9, 2, 17] * 3, jnp.int32)
+    users = jnp.asarray([1] * 4 + [2] * 4 + [3] * 4, jnp.int32)
+    scores = model.predict(params, state, {"user_id": users, "item_id": items},
+                           sst_list=("gender",))
+    s = np.asarray(scores).reshape(3, 4)
+    np.testing.assert_allclose(s[0], s[1], atol=1e-6)
+    np.testing.assert_allclose(s[0], s[2], atol=1e-6)
+
+    # without the flag the same model personalizes (running-stats eval)
+    model2 = get_model("PFCN_PMF")(
+        Config(model="PFCN_PMF", dataset="tiny",
+               config_dict={**config.final_config_dict,
+                            "reference_bn_eval_emulation": False}),
+        train_data.dataset)
+    s2 = np.asarray(model2.predict(params, state,
+                                   {"user_id": users, "item_id": items},
+                                   sst_list=("gender",))).reshape(3, 4)
+    assert not np.allclose(s2[0], s2[1], atol=1e-6)

@@ -434,3 +434,56 @@ def test_bce_saturation_parity(ref_recbole):
     np.testing.assert_allclose(np.asarray(ours_g), tl.grad.numpy(), rtol=1e-5,
                                atol=1e-8)
     assert np.isfinite(np.asarray(ours_g)).all()
+
+
+def test_segment_bn_matches_reference_train_mode_per_user_batches(ref_recbole):
+    """Reference-defect emulation core (VERDICT r4 item 3): our eval-time
+    per-user-segment BN (layers.apply_mlp bn_segments) must equal the
+    reference's train-mode BatchNorm fed each user's rows as its own batch
+    — the regime the reference's unregistered filter MLPs
+    (pfcn_mlp.py:104-120) + one-user uni100 eval batches
+    (general_dataloader.py:68-158) actually run in."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from recbole.model.layers import MLPLayers
+    from recbole_fairrec_tpu.models.layers import apply_mlp, init_mlp, init_mlp_state
+
+    d = 8
+    sizes = [d, 2 * d, d]
+    params = init_mlp(jax.random.PRNGKey(3), sizes, init_method="norm", bn=True)
+    state = init_mlp_state(sizes, bn=True)
+    torch_mlp = MLPLayers(sizes, activation="leakyrelu", bn=True, init_method="norm")
+    ref_compat.inject_mlp(torch_mlp, params)
+    torch_mlp.train()  # the defect: eval() never reaches the filters
+
+    rng = np.random.RandomState(0)
+    # three users; each user's rows are its embedding repeated (the filter
+    # input during sampled eval), different row counts per user
+    counts = [5, 3, 7]
+    user_embeds = rng.randn(3, d).astype(np.float32)
+    rows = np.concatenate([np.tile(user_embeds[i], (c, 1)) for i, c in enumerate(counts)])
+    segments = np.concatenate([np.full(c, i) for i, c in enumerate(counts)])
+
+    ours, _ = apply_mlp(
+        params, jnp.asarray(rows), activation="leakyrelu", state=state,
+        train=False, bn_segments=jnp.asarray(segments, jnp.int32),
+        bn_num_segments=3,
+    )
+
+    ref_rows = []
+    with torch.no_grad():
+        start = 0
+        for c in counts:  # one torch batch per user, train-mode BN
+            ref_rows.append(torch_mlp(torch.from_numpy(rows[start:start + c])).numpy())
+            start += c
+    ref = np.concatenate(ref_rows)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-6)
+
+    # annihilation: constant rows normalize to beta exactly -> the output is
+    # user-independent: leakyrelu(beta_last) for every row
+    expect = np.asarray(jnp.where(
+        params["bn"][-1]["beta"] >= 0, params["bn"][-1]["beta"],
+        0.01 * params["bn"][-1]["beta"]))
+    np.testing.assert_allclose(np.asarray(ours), np.tile(expect, (len(rows), 1)), atol=2e-5)
