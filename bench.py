@@ -213,7 +213,20 @@ def bench_uni100_eval():
     """users/s through Trainer.evaluate under the reference's actual eval
     protocol — mode uni100 (100 uniform sampled negatives/user,
     recbole/properties/model/FOCF.yaml:27). No published reference timing
-    exists for this mode; recorded as an absolute regression number."""
+    exists for this mode; recorded as an absolute regression number.
+
+    Profile-backed floor (r5, jax.profiler + cProfile decomposition):
+    loader ≈ 0.30-0.45 s — ≥85% of it the 6,040 per-user numpy draw calls
+    (one sampler call per user IN USER ORDER is reference parity surface,
+    general_dataloader.py:119-158; the np.random.randint wrapper alone
+    costs ~12 µs/call, of which ~6 µs is numpy's internal np.prod on the
+    size argument) — plus ONE fused device dispatch (~0.1-0.2 s tunnel
+    RTT + fetch; eval_macro_scores 32M packs all 6,040 users into one
+    [U, I] scatter) and ~6 ms of host metrics. r5 cut the per-call draw
+    overhead ~2× (sampler.sample_one_key: no tile/eq-check/uint64
+    temporaries, int64 bitmap probe) and halved dispatch count; the
+    remaining floor is the parity-pinned numpy draw stream itself —
+    vectorizing it would change the negative sets vs the reference."""
     from recbole_fairrec_tpu.config import Config
     from recbole_fairrec_tpu.data import create_dataset, data_preparation
     from recbole_fairrec_tpu.trainer import Trainer
@@ -566,7 +579,9 @@ def bench_scale():
         for _ in range(n):
             t0 = time.perf_counter()
             out = fn(users, items)
-            jax.block_until_ready(out)
+            # fetch one element: the tunnel backend's block_until_ready can
+            # return before remote execution completes (observed r5)
+            float(np.asarray(out[0])[0, 0])
             times.append(time.perf_counter() - t0)
         return min(times)
 
@@ -575,6 +590,18 @@ def bench_scale():
     t_exact = timeit(exact)
     approx = jax.jit(lambda u, t: approx_topk_scores(u, t, 10, recall_target=0.95))
     t_approx = timeit(approx)
+    # batched-retrieval regime: B=1024 users amortize the table stream
+    B2 = 1024
+    users2 = jax.random.normal(ku, (B2, D), jnp.bfloat16)
+    approx_b = jax.jit(lambda u, t: approx_topk_scores(u, t, 10, recall_target=0.95))
+    jax.block_until_ready(approx_b(users2, items))
+    times_b = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        s_b, _ = approx_b(users2, items)
+        float(np.asarray(s_b)[0, 0])  # fetch-forced (tunnel block_until_ready can under-report)
+        times_b.append(time.perf_counter() - t0)
+    t_approx_b = min(times_b)
 
     es, ei = exact(users, items)
     as_, ai = approx(users, items)
@@ -586,8 +613,11 @@ def bench_scale():
     # roofline demands per full-catalog pass over the B-user block
     table_bytes = I * D * 2  # bf16 item table streamed once
     flops = 2 * B * I * D
-    # approx materializes [B, I] f32 scores: + write + partial-reduce read
-    approx_bytes = table_bytes + 2 * B * I * 4
+    # XLA fuses the matmul into approx_max_k's PartialReduce consumer, so
+    # the [B, I] score matrix is never round-tripped through HBM in full
+    # (verified r5: measured B=1024 time beats the materialization bound by
+    # 1.4x) — the honest HBM demand is the table stream alone
+    approx_bytes = table_bytes
 
     # ---- scale train step: real Trainer update fn over huge tables
     from recbole_fairrec_tpu.config import Config
@@ -604,6 +634,7 @@ def bench_scale():
         model="PFCN_PMF", dataset=DS,
         config_dict={
             "data_path": DATA_DIR, "filter_mode": "none",
+            "sst_attr_list": [],  # pure BPR-MF; no user-feature LUTs
             "embedding_size": D, "metrics": ["NDCG"], "topk": [10],
             "valid_metric": "NDCG@10", "show_progress": False,
             "checkpoint_dir": os.path.join(DATA_DIR, "saved"),
@@ -656,6 +687,19 @@ def bench_scale():
         "scale_fullsort_approx_pct_of_measured_hbm": round(
             100 * (approx_bytes / t_approx / 1e9) / hbm, 1),
         "scale_fullsort_approx_recall_vs_exact": round(recall, 4),
+        "scale_fullsort_approx_b1024_items_per_s": round(B2 * I / t_approx_b, 1),
+        "scale_fullsort_approx_b1024_ms": round(t_approx_b * 1e3, 2),
+        "scale_fullsort_approx_b1024_pct_of_measured_mxu": round(
+            100 * (2 * B2 * I * D / t_approx_b / 1e12) / mxu, 1),
+        # why the retrieval paths sit below the HBM roofline on this chip:
+        # exact per-tile k-selection costs ~50 VPU ops per (user, item) and
+        # measures ~0.44 effective TOPS on its serial max/mask chains
+        # (26x the bf16 table-stream time at B=128); approx_max_k fuses
+        # with the matmul but its PartialReduce binds at ~16% of the MXU
+        # probe at B=1024. The device-side binder is the top-k machinery,
+        # NOT bandwidth — the HBM >=40% demonstration at scale is the
+        # train-step row below.
+        "scale_fullsort_binder": "topk selection (VPU/PartialReduce), not HBM/MXU",
         "scale_train_step_examples_per_s": round(batch_size / t_step, 1),
         "scale_train_step_ms": round(t_step * 1e3, 2),
         "scale_train_step_pct_of_measured_hbm": round(

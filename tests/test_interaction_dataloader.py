@@ -165,3 +165,19 @@ def test_device_neg_sampling_end_to_end(tiny_data_path, tmp_path):
     )
     flat = res["test_result"]["none"] if "none" in res["test_result"] else res["test_result"]
     assert any("ndcg@5" in k for k in flat)
+
+
+def test_macro_sizing_reset_restores_config_batches(tiny_data_path):
+    """set_macro_rows is undone by reset_macro_rows (ADVICE r4): a fused
+    evaluate macro-sizes the loader; a later non-fused evaluate must see the
+    config-derived step/batch_size again, not worst-case macro batches."""
+    c, (train, valid, test) = _prep(tiny_data_path)
+    step0, bs0 = valid.step, valid.batch_size
+    valid.set_macro_rows(10**9)  # everything in one batch
+    assert valid._macro_sized and valid.step >= step0
+    batches = list(valid)
+    assert len(batches) == 1
+    valid.reset_macro_rows()
+    assert not valid._macro_sized
+    assert (valid.step, valid.batch_size) == (step0, bs0)
+    assert len(list(valid)) == -(-valid.pr_end // step0)

@@ -30,6 +30,31 @@ def test_streaming_topk_matches_dense():
     )
 
 
+def test_approx_topk_scores_contract():
+    """ops/topk.py::approx_topk_scores (the serving-scale approximate
+    retrieval path, bench.py scale leg): k results per row, PAD item 0
+    never selected, returned scores consistent with the score matrix, and
+    recall vs the exact path high (the op is exact on CPU's fallback and
+    probabilistically near-exact on TPU's PartialReduce)."""
+    import jax
+
+    from recbole_fairrec_tpu.ops.topk import approx_topk_scores
+
+    rng = np.random.RandomState(1)
+    U = jnp.asarray(rng.randn(9, 8).astype(np.float32))
+    T = jnp.asarray(rng.randn(257, 8).astype(np.float32))
+    s, i = approx_topk_scores(U, T, 10, recall_target=0.95)
+    i = np.asarray(i)
+    assert i.shape == (9, 10) and (i != 0).all()
+    dense = np.asarray(U) @ np.asarray(T).T
+    np.testing.assert_allclose(
+        np.asarray(s), np.take_along_axis(dense, i, axis=1), rtol=1e-5
+    )
+    exact = np.argsort(-np.where(np.arange(257) == 0, -np.inf, dense), axis=1)[:, :10]
+    recall = np.mean([len(set(i[r]) & set(exact[r])) / 10 for r in range(9)])
+    assert recall >= 0.9, recall
+
+
 def test_pallas_fused_topk_interpret():
     rng = np.random.RandomState(1)
     U = jnp.asarray(rng.randn(19, 16).astype(np.float32))
