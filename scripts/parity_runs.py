@@ -693,6 +693,20 @@ ndcg) where the reference's own 2021 stops at ~16. Wall-clock per RUN is
 therefore not comparable across frameworks under this protocol;
 wall-clock per EPOCH is, and ours wins it.
 
+NFCF_pre, the one row where ours' recorded wall-clock lost (382 s vs
+260 s mean), was given its own decomposition in r5 with UNCONTENDED
+single-run probes (4 epochs each, same machine, nothing else running):
+reference torch CPU = 1.06–1.20 s train + 1.97–2.23 s eval ≈ 3.2 s/epoch
+steady; ours jax CPU = 0.64–0.72 s train + 0.69–0.74 s eval ≈ 1.4 s/epoch
+steady (first epoch 1.17 s + 1.34 s with compiles) — ours 2.3× faster
+per epoch. The recorded per-run gap decomposes into (a) epoch-count
+asymmetry — our seeds trained 119/123/20/167/94 pre-phase epochs (from
+the retained run logs; trajectory-dependent early stop); and (b) host
+contention — the original 'ours' runs executed while the reference queue
+shared the 2-core host: the retained logs show the SAME seed/epoch-count
+runs at 2–3× the per-epoch cost of their uncontended reruns (seed 2020:
+84 s train/136 s eval uncontended vs 175 s/355 s contended).
+
 ### Round-3 rerun of all adversarial/frozen 'ours' runs
 
 Round-2 'ours' adversarial runs were trained with a group-masking defect:

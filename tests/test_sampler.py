@@ -197,39 +197,16 @@ def test_kg_sampler_excludes_known_tails():
     for h, t in zip(tiled.tolist(), neg.tolist()):
         assert (h, t) not in known
 
-
-def test_sample_one_key_stream_identical(tiny_data_path):
-    """The uni100 fast path must consume the numpy RNG stream exactly like
-    the general multi-row path (the stream is reference parity surface,
-    general_dataloader.py:119-158): same sampling() call sizes in the same
-    order => identical values AND identical post-call RNG state."""
+def test_sample_one_key_group_constrained_fallback(tiny_data_path):
+    """With fairness group labels set, sample_one_key must route through the
+    group-constrained general path, not the unconstrained bitmap probe."""
     c, ds, built = _built(tiny_data_path)
-    train_sampler, valid_sampler, _ = create_samplers(c, ds, built)
-    valid = built[1]
-    uid = int(np.asarray(valid.inter_feat["user_id"])[0])
-    cnt = 7
-    state = np.random.get_state()
-    fast = valid_sampler.sample_one_key(uid, cnt * 100)
-    state_after_fast = np.random.get_state()
-
-    np.random.set_state(state)
-    # general path forced by passing the explicit row-shaped key array but
-    # removing the fast-path delegation
-    rows = np.full(cnt, uid)
-    tiled_keys = np.tile(rows, 100)
-    value_ids = valid_sampler.sampling(cnt * 100)
-    bad = valid_sampler._membership(tiled_keys, value_ids)
-    while bad.any():
-        idx = np.nonzero(bad)[0]
-        resampled = valid_sampler.sampling(len(idx))
-        value_ids[idx] = resampled
-        still = valid_sampler._membership(tiled_keys[idx], resampled)
-        bad = np.zeros(cnt * 100, dtype=bool)
-        bad[idx[still]] = True
-
-    np.testing.assert_array_equal(fast, value_ids)
-    ref_state = np.random.get_state()
-    assert all(
-        np.array_equal(a, b) if isinstance(a, np.ndarray) else a == b
-        for a, b in zip(state_after_fast, ref_state)
-    )
+    s = Sampler(["train", "valid", "test"], built, "uniform").set_phase("train")
+    s.user_group_label = np.arange(ds.user_num) % 2
+    s.item_group_label = np.arange(ds.item_num) % 3
+    uid = int(np.asarray(built[0].inter_feat["user_id"])[0])
+    neg = s.sample_one_key(uid, 40)
+    u_lab = uid % 2
+    for v in neg.tolist():
+        i_lab = v % 3
+        assert not ((u_lab == 0 and i_lab == 1) or (u_lab == 1 and i_lab == 0))
