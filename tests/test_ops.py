@@ -54,6 +54,13 @@ def test_approx_topk_scores_contract():
     recall = np.mean([len(set(i[r]) & set(exact[r])) / 10 for r in range(9)])
     assert recall >= 0.9, recall
 
+    # verified mode: certified rows must hold an exact top-k set
+    s2, i2, cert = approx_topk_scores(U, T, 10, recall_target=0.95, verify=True)
+    i2, cert = np.asarray(i2), np.asarray(cert)
+    for r in range(9):
+        if cert[r]:
+            assert set(i2[r]) == set(exact[r]), r
+
 
 def test_pallas_fused_topk_interpret():
     rng = np.random.RandomState(1)
