@@ -15,8 +15,9 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "tile"))
-def streaming_topk_scores(user_emb, item_table, top_k, tile=4096):
+@functools.partial(jax.jit, static_argnames=("top_k", "tile", "mask_pad"))
+def streaming_topk_scores(user_emb, item_table, top_k, tile=4096,
+                          mask_pad=False):
     """Top-k of ``user_emb @ item_table.T`` without materializing all scores.
 
     Args:
@@ -24,6 +25,9 @@ def streaming_topk_scores(user_emb, item_table, top_k, tile=4096):
         item_table: [I, d]; I is padded internally to a tile multiple.
         top_k: static k.
         tile: item-tile width (catalog streamed in chunks of this size).
+        mask_pad: exclude the [PAD] item (row 0) like the Pallas kernel and
+            approx paths do; default False — the trainer's full-sort eval
+            applies its own PAD/history mask downstream.
 
     Returns:
         (topk_scores [B, k], topk_idx [B, k]) — global item indices; padded
@@ -53,7 +57,10 @@ def streaming_topk_scores(user_emb, item_table, top_k, tile=4096):
         col0 = tile_idx * tile
         local_idx = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         # mask out the padded tail so it can't be selected
-        scores = jnp.where(local_idx < I, scores, -jnp.inf)
+        valid = local_idx < I
+        if mask_pad:
+            valid = valid & (local_idx != 0)
+        scores = jnp.where(valid, scores, -jnp.inf)
         cat_s = jnp.concatenate([best_s, scores], axis=1)
         cat_i = jnp.concatenate([best_i, local_idx], axis=1)
         new_s, pos = jax.lax.top_k(cat_s, top_k)
@@ -80,6 +87,12 @@ def approx_topk_scores(user_emb, item_table, top_k, recall_target=0.95,
     score matmul into the reduce consumer, so the [B, I] score matrix is
     never fully materialized in HBM (verified on-chip r5).
 
+    Measured (v5e, 2M items × d=128, recall_target 0.95): ~80-84% of rows
+    certify exact; verify adds ~0 cost at B=128 (fully fused) and ~2× at
+    B=1024 (XLA re-materializes the scores for the second consumer) —
+    re-running only uncertified rows through the exact kernel yields
+    certified-exact retrieval at a fraction of the exact path's cost.
+
     ``verify=True`` additionally returns a per-row ``certified`` bool:
     True ⇔ the returned candidates ARE an exact top-k set (up to ties at
     the k-th value). Soundness: let t = the returned k-th score; if the
@@ -101,3 +114,31 @@ def approx_topk_scores(user_emb, item_table, top_k, recall_target=0.95,
         return vals, idx
     above = jnp.sum((scores > vals[:, -1:]).astype(jnp.int32), axis=1)
     return vals, idx, above <= top_k - 1
+
+
+def certified_topk_scores(user_emb, item_table, top_k, recall_target=0.95,
+                          tile=4096):
+    """EXACT top-k at near-approx cost: approx_max_k + per-row exactness
+    certificate, then an exact streaming rescue for only the uncertified
+    rows (~16-20% at recall_target 0.95, measured v5e @ 2M items).
+
+    Two dispatches worst case; when every row certifies, the rescue is
+    skipped entirely (host-side branch on a [B] bool — one small sync).
+    Output contract matches ``streaming_topk_scores`` (exact scores +
+    indices, PAD item 0 never selected).
+    """
+    import numpy as np
+
+    vals, idx, certified = approx_topk_scores(
+        user_emb, item_table, top_k, recall_target=recall_target, verify=True
+    )
+    cert_host = np.asarray(certified)
+    if cert_host.all():
+        return vals, idx
+    bad = np.nonzero(~cert_host)[0]
+    fix_s, fix_i = streaming_topk_scores(
+        user_emb[bad], item_table, top_k, tile=tile, mask_pad=True
+    )
+    vals = jnp.asarray(vals).at[bad].set(fix_s)
+    idx = jnp.asarray(idx).at[bad].set(fix_i)
+    return vals, idx

@@ -62,6 +62,27 @@ def test_approx_topk_scores_contract():
             assert set(i2[r]) == set(exact[r]), r
 
 
+def test_certified_topk_exact_with_rescue():
+    """certified_topk_scores: approx + certificate + exact streaming rescue
+    must equal the exact path on every row, even at a recall_target low
+    enough to force rescues."""
+    import jax
+
+    from recbole_fairrec_tpu.ops.topk import (
+        certified_topk_scores, streaming_topk_scores,
+    )
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    U = jax.random.normal(k1, (16, 8))
+    T = jax.random.normal(k2, (600, 8))
+    s_c, i_c = certified_topk_scores(U, T, 10, recall_target=0.5)
+    s_e, i_e = streaming_topk_scores(U, T, 10, mask_pad=True)
+    for r in range(16):
+        assert set(np.asarray(i_c)[r].tolist()) == set(np.asarray(i_e)[r].tolist())
+    np.testing.assert_allclose(np.sort(np.asarray(s_c), axis=1),
+                               np.sort(np.asarray(s_e), axis=1), rtol=1e-5)
+
+
 def test_pallas_fused_topk_interpret():
     rng = np.random.RandomState(1)
     U = jnp.asarray(rng.randn(19, 16).astype(np.float32))
