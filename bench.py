@@ -139,6 +139,35 @@ def bench_train_epoch(trainer, train_data):
                                  "train_epoch_timing_n": n}
 
 
+def bench_resident_epoch(trainer, train_data):
+    """Epoch-resident mode (device_epoch_shuffle): the train table lives in
+    HBM and each epoch is ONE dispatch — device-side shuffle, in-scan
+    gathers + negative draws, zero per-epoch host→device batch traffic.
+    Opt-in (device-RNG shuffle diverges from the reference's numpy stream);
+    reported alongside the parity-faithful epoch above."""
+    n_examples = len(train_data.dataset.inter_feat)
+    trainer.config["device_epoch_shuffle"] = True
+    try:
+        trainer._train_epoch(train_data, 0)  # compile
+
+        def once():
+            t0 = time.perf_counter()
+            trainer._train_epoch(train_data, 1)
+            return time.perf_counter() - t0
+
+        dt, p50, mx, n = _timed_stats(once, n=8)
+    finally:
+        trainer.config["device_epoch_shuffle"] = False
+    return {
+        "train_epoch_resident_s": round(dt, 3),
+        "train_epoch_resident_s_p50": round(p50, 3),
+        "train_epoch_resident_s_max": round(mx, 3),
+        "train_epoch_resident_examples_per_s": round(n_examples / dt, 1),
+        "train_epoch_resident_vs_baseline": round(
+            (n_examples / dt) / TRAIN_BASELINE_EX_S, 3),
+    }
+
+
 def bench_eval(trainer, valid_data):
     """(items/s dense-fused, items/s streaming, dicts-agree) via the real
     Trainer.evaluate — macro-batching, collector, and host metrics included."""
@@ -728,6 +757,9 @@ def main():
     step_ex_s = bench_train_step(trainer, train_data)
     _stage("e2e train epochs")
     epoch_ex_s, epoch_s, epoch_disp = bench_train_epoch(trainer, train_data)
+    _stage("epoch-resident train epochs")
+    resident = bench_resident_epoch(trainer, train_data)
+    epoch_disp.update(resident)
     _stage("full-sort eval variants")
     (eval_dense, eval_stream, agree, dense_dt,
      stream_dt, eval_disp) = bench_eval(trainer, valid_data)

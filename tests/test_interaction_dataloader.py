@@ -181,3 +181,43 @@ def test_macro_sizing_reset_restores_config_batches(tiny_data_path):
     assert not valid._macro_sized
     assert (valid.step, valid.batch_size) == (step0, bs0)
     assert len(list(valid)) == -(-valid.pr_end // step0)
+
+
+def test_device_epoch_shuffle_resident_end_to_end(tiny_data_path, tmp_path):
+    """Epoch-resident mode (device_epoch_shuffle): the whole epoch is one
+    dispatch — device-side shuffle over the HBM-resident train table,
+    in-scan gathers and negative draws. Training completes, improves the
+    valid metric path, and actually took the resident executable."""
+    import jax
+
+    from recbole_fairrec_tpu.config import Config
+    from recbole_fairrec_tpu.data import create_dataset, data_preparation
+    from recbole_fairrec_tpu.trainer import Trainer
+    from recbole_fairrec_tpu.utils import get_model, init_seed
+
+    config = Config(
+        model="PFCN_PMF", dataset="tiny",
+        config_dict={
+            "data_path": str(tiny_data_path),
+            "load_col": {"inter": ["user_id", "item_id", "rating"], "user": ["user_id", "gender"]},
+            "threshold": {"rating": 3.0},
+            "epochs": 3, "train_batch_size": 64, "eval_batch_size": 2048,
+            "show_progress": False, "state": "ERROR",
+            "checkpoint_dir": str(tmp_path / "saved"),
+            "device_neg_sampling": True, "device_epoch_shuffle": True,
+            "filter_mode": "none", "save_sst_embed": False,
+        },
+    )
+    init_seed(config["seed"], config["reproducibility"])
+    dataset = create_dataset(config)
+    train_data, valid_data, _ = data_preparation(config, dataset)
+    model = get_model("PFCN_PMF")(config, train_data.dataset)
+    trainer = Trainer(config, model)
+    losses = [trainer._train_epoch(train_data, e) for e in range(3)]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]  # BPR decreases over resident epochs
+    assert any(k[0] == "resident" for k in trainer._update_cache), \
+        "resident executable was not used"
+    trainer.eval_collector.data_collect(train_data)
+    result = trainer.evaluate(valid_data, load_best_model=False)
+    assert "ndcg@5" in result
