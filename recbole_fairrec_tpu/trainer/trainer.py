@@ -370,17 +370,19 @@ class Trainer(AbstractTrainer):
 
     def _resident_epoch_ok(self, train_data, loss_name, sst_list, tx_tag):
         """Epoch-resident mode (``device_epoch_shuffle``): the train table
-        lives in HBM and each epoch is ONE dispatch — device-side shuffle,
-        in-scan gathers and negative draws, zero per-epoch host→device
-        batch traffic. Opt-in because the shuffle runs on the device RNG
-        (threefry) instead of the host numpy stream, so example order
-        diverges from the reference's np.random.shuffle (same distribution,
-        different draws — trajectory-parity surfaces keep it off)."""
+        lives in HBM and each epoch pass is ONE dispatch — device-side
+        shuffle, in-scan gathers and negative draws, zero per-epoch
+        host→device batch traffic. Covers every (loss, sst-subset,
+        optimizer) pass whose loader ships raw interaction rows — i.e. the
+        pairwise loaders under device_neg_sampling (the pointwise loaders
+        do host-side label expansion / item grouping, which the resident
+        table does not reproduce). Opt-in because the shuffle runs on the
+        device RNG (threefry) instead of the host numpy stream, so example
+        order diverges from the reference's np.random.shuffle (same
+        distribution, different draws — trajectory-parity surfaces keep it
+        off)."""
         return (
             bool(self.config["device_epoch_shuffle"])
-            and loss_name == "calculate_loss"
-            and sst_list is None
-            and tx_tag == "main"
             and getattr(train_data, "device_neg_sampling", False)
             and hasattr(self.model, "NEG_ITEM_ID")
             and self.model.loss_batch_fields(loss_name, sst_list) is not None
@@ -394,9 +396,10 @@ class Trainer(AbstractTrainer):
         n_pad = n_steps * batch
         key = (id(ds), tuple(sorted(fields)), n_pad)
         if getattr(self, "_resident_key", None) != key:
+            joined = ds[0 : n]  # user/item features joined onto the rows
             tables = {}
             for f in fields:
-                arr = np.asarray(ds.inter_feat[f])
+                arr = np.asarray(joined[f])
                 if arr.dtype == np.int64:
                     arr = arr.astype(np.int32)
                 elif arr.dtype == np.float64:
@@ -410,18 +413,21 @@ class Trainer(AbstractTrainer):
             self._resident_cache = (tables, n_steps, batch, n_pad)
         return self._resident_cache
 
-    def _get_resident_epoch_fn(self, n_steps, batch_size, n_pad):
-        key = ("resident", n_steps, batch_size, n_pad,
-               getattr(self.model, "train_stage", None))
+    def _get_resident_epoch_fn(self, loss_name, sst_list, tx_tag,
+                               n_steps, batch_size, n_pad):
+        key = ("resident", loss_name, sst_list, tx_tag, n_steps, batch_size,
+               n_pad, getattr(self.model, "train_stage", None))
         if key in self._update_cache:
             return self._update_cache[key]
         from ..ops.neg_sampling import sample_negatives
 
-        step = self._make_step("calculate_loss", None, self._tx_by_tag("main"))
+        step = self._make_step(loss_name, sst_list, self._tx_by_tag(tx_tag))
         model = self.model
         used_keys = self._device_used_keys
         uid_field, neg_field = model.USER_ID, model.NEG_ITEM_ID
         n_items = model.n_items
+        # only the rec losses read negatives; discriminator passes don't
+        need_negs = loss_name == "calculate_loss"
 
         def epoch(params, model_state, opt_state, rng, tables):
             rng, perm_rng = jax.random.split(rng)
@@ -435,14 +441,17 @@ class Trainer(AbstractTrainer):
                 return k, s
 
             rng, step_keys = jax.lax.scan(split_body, rng, None, length=n_steps)
-            # same key discipline as the staged scan path: step_key ->
-            # (loss_rng, neg_rng), negatives pre-drawn for the whole epoch
-            pairs = jax.vmap(jax.random.split)(step_keys)
-            loss_keys, neg_keys = pairs[:, 0], pairs[:, 1]
-            negs = jax.vmap(
-                lambda k, u: sample_negatives(k, u, used_keys, n_items, num_neg=1)
-            )(neg_keys, stacked[uid_field])
-            stacked = {**stacked, neg_field: negs.astype(jnp.int32)}
+            if need_negs:
+                # same key discipline as the staged scan path: step_key ->
+                # (loss_rng, neg_rng), negatives pre-drawn for the whole pass
+                pairs = jax.vmap(jax.random.split)(step_keys)
+                loss_keys, neg_keys = pairs[:, 0], pairs[:, 1]
+                negs = jax.vmap(
+                    lambda k, u: sample_negatives(k, u, used_keys, n_items, num_neg=1)
+                )(neg_keys, stacked[uid_field])
+                stacked = {**stacked, neg_field: negs.astype(jnp.int32)}
+            else:
+                loss_keys = step_keys
 
             def body(carry, xs):
                 params, model_state, opt_state = carry
@@ -461,17 +470,20 @@ class Trainer(AbstractTrainer):
         self._update_cache[key] = compiled
         return compiled
 
-    def _run_epoch_resident(self, train_data):
-        fields = set(self.model.loss_batch_fields("calculate_loss", None))
+    def _run_epoch_resident(self, train_data, loss_name="calculate_loss",
+                            sst_list=None, tx_tag="main"):
+        fields = set(self.model.loss_batch_fields(loss_name, sst_list))
         fields.discard(self.model.NEG_ITEM_ID)  # drawn on device
-        fields &= set(train_data.dataset.inter_feat.interaction.keys())
+        fields.discard("__weight__")  # added by _resident_tables
         tables, n_steps, batch, n_pad = self._resident_tables(train_data, fields)
-        epoch_fn = self._get_resident_epoch_fn(n_steps, batch, n_pad)
+        epoch_fn = self._get_resident_epoch_fn(
+            loss_name, sst_list, tx_tag, n_steps, batch, n_pad
+        )
         loss, self.params, self.model_state, new_opt, self.rng = epoch_fn(
-            self.params, self.model_state, self._opt_state_by_tag("main"),
+            self.params, self.model_state, self._opt_state_by_tag(tx_tag),
             self.rng, tables,
         )
-        self._set_opt_state_by_tag("main", new_opt)
+        self._set_opt_state_by_tag(tx_tag, new_opt)
         total = float(loss)
         self._check_nan(total)
         return total
@@ -573,7 +585,7 @@ class Trainer(AbstractTrainer):
         total_loss = None
         self._maybe_enable_device_sampling(train_data)
         if self._resident_epoch_ok(train_data, loss_name, sst_list, tx_tag):
-            return self._run_epoch_resident(train_data)
+            return self._run_epoch_resident(train_data, loss_name, sst_list, tx_tag)
         canonical = getattr(train_data, "max_batch_rows", None) or train_data.batch_size
         canonical = _bucket(canonical)
         macro = self._macro_steps(len(train_data), canonical)

@@ -221,3 +221,41 @@ def test_device_epoch_shuffle_resident_end_to_end(tiny_data_path, tmp_path):
     trainer.eval_collector.data_collect(train_data)
     result = trainer.evaluate(valid_data, load_best_model=False)
     assert "ndcg@5" in result
+
+
+def test_device_epoch_shuffle_adversarial_passes(tiny_data_path, tmp_path):
+    """Resident epochs cover the adversarial alternation too: the filter
+    pass (BPR − w·dis, filter optimizer, with device negative draws) and
+    the discriminator pass (no negatives) each compile to their own
+    one-dispatch executables."""
+    from recbole_fairrec_tpu import run_recbole
+    from recbole_fairrec_tpu.trainer import adversarial
+
+    captured = {}
+    orig = adversarial.PFCNTrainer._train_epoch
+
+    def spy(self, train_data, epoch_idx, **kw):
+        out = orig(self, train_data, epoch_idx, **kw)
+        captured["keys"] = [k for k in self._update_cache if k[0] == "resident"]
+        return out
+
+    adversarial.PFCNTrainer._train_epoch = spy
+    try:
+        run_recbole(
+            model="PFCN_PMF", dataset="tiny",
+            config_dict={
+                "data_path": str(tiny_data_path),
+                "load_col": {"inter": ["user_id", "item_id", "rating"], "user": ["user_id", "gender"]},
+                "threshold": {"rating": 3.0},
+                "epochs": 2, "train_batch_size": 64, "eval_batch_size": 2048,
+                "show_progress": False, "state": "ERROR",
+                "checkpoint_dir": str(tmp_path / "saved"),
+                "device_neg_sampling": True, "device_epoch_shuffle": True,
+                "filter_mode": "cm", "save_sst_embed": False,
+            },
+            saved=False,
+        )
+    finally:
+        adversarial.PFCNTrainer._train_epoch = orig
+    tags = {(k[1], k[3]) for k in captured["keys"]}
+    assert ("calculate_dis_loss", "dis") in tags, captured["keys"]
