@@ -491,7 +491,7 @@ def _flat_test_result(payload):
 # PASS/DIVERGENT comparison for exactly those configurations by emulating
 # the reference's defective eval on our side.
 _PFCN_FILTERED = ("PFCN_PMF_cm", "PFCN_PMF_sm", "PFCN_MLP", "PFCN_DMF",
-                  "PFCN_PMF_cm_ga", "PFCN_PMF_sm_ga")
+                  "PFCN_PMF_cm_ga", "PFCN_PMF_sm_ga", "PFCN_MLP_ga")
 _PFCN_BN_WHY = (
     "fixed-eval ours vs BN-degenerate reference eval: every reference "
     "metric is computed from the annihilated-filter scorer "
