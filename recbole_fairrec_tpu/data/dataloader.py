@@ -194,7 +194,12 @@ class AbstractDataLoader:
 
     def __iter__(self):
         if self.shuffle:
-            self._shuffle()
+            if getattr(self, "_skip_next_shuffle", False):
+                # one-shot: the trainer's understaged-epoch retry already
+                # holds a correctly-shuffled order (see _run_epoch)
+                self._skip_next_shuffle = False
+            else:
+                self._shuffle()
         return self
 
     def __next__(self):

@@ -681,6 +681,19 @@ class Trainer(AbstractTrainer):
             self._stage_full.add(filter_key)
             np.random.set_state(np_rng_snapshot)
             self.rng = jax_rng_snapshot
+            # the aborted iteration may have left the cursor at pr_end
+            # without the StopIteration that resets it — the retry would
+            # then see an empty loader and return None
+            train_data.pr = 0
+            if getattr(train_data, "shuffle", False):
+                # the aborted pass already shuffled the dataset IN PLACE; a
+                # second shuffle would compose two permutations and diverge
+                # from a clean run's order. Replay the stream the shuffle
+                # consumed (Interaction.shuffle = one np.random.permutation)
+                # and skip the retry's re-shuffle, so both the row order
+                # AND the negative-draw stream equal a clean epoch's.
+                np.random.permutation(len(train_data.dataset.inter_feat))
+                train_data._skip_next_shuffle = True
             return self._run_epoch(train_data, loss_name, sst_list, tx_tag)
         if total_loss is None:
             return None

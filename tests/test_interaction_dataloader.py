@@ -259,3 +259,54 @@ def test_device_epoch_shuffle_adversarial_passes(tiny_data_path, tmp_path):
         adversarial.PFCNTrainer._train_epoch = orig
     tags = {(k[1], k[3]) for k in captured["keys"]}
     assert ("calculate_dis_loss", "dis") in tags, captured["keys"]
+
+
+def test_understaged_retry_is_bit_identical(tiny_data_path, tmp_path):
+    """ADVICE r4 fix: when loss_batch_fields under-declares and the epoch
+    restages after the trace-time KeyError, the retried epoch must be
+    bit-identical to a clean full-staged run (numpy + jax RNG snapshots
+    restored before the retry)."""
+    import jax
+
+    from recbole_fairrec_tpu.config import Config
+    from recbole_fairrec_tpu.data import create_dataset, data_preparation
+    from recbole_fairrec_tpu.trainer import Trainer
+    from recbole_fairrec_tpu.utils import get_model, init_seed
+
+    def build():
+        config = Config(
+            model="PFCN_PMF", dataset="tiny",
+            config_dict={
+                "data_path": str(tiny_data_path),
+                "load_col": {"inter": ["user_id", "item_id", "rating"], "user": ["user_id", "gender"]},
+                "threshold": {"rating": 3.0},
+                "epochs": 1, "train_batch_size": 64, "eval_batch_size": 2048,
+                "show_progress": False, "state": "ERROR",
+                "checkpoint_dir": str(tmp_path / "saved"),
+                "filter_mode": "none", "save_sst_embed": False,
+            },
+        )
+        init_seed(config["seed"], config["reproducibility"])
+        dataset = create_dataset(config)
+        train_data, _, _ = data_preparation(config, dataset)
+        model = get_model("PFCN_PMF")(config, train_data.dataset)
+        return Trainer(config, model), train_data, model
+
+    init_seed(2020, True)
+    t_clean, data_clean, _ = build()
+    loss_clean = t_clean._train_epoch(data_clean, 0)
+
+    init_seed(2020, True)
+    t_bad, data_bad, model_bad = build()
+    full_fields = model_bad.loss_batch_fields("calculate_loss", None)
+    # under-declare: drop the neg item lane so the filtered trace KeyErrors
+    model_bad.loss_batch_fields = lambda loss, sst=None: tuple(
+        f for f in full_fields if f != model_bad.NEG_ITEM_ID
+    )
+    loss_bad = t_bad._train_epoch(data_bad, 0)
+
+    assert loss_bad == loss_clean
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        t_clean.params, t_bad.params,
+    )
