@@ -364,7 +364,7 @@ def bench_adversarial_epoch():
     }
 
 
-def bench_fairgo_finetune_epoch():
+def bench_fairgo_finetune_epoch(propagation_dtype="float32"):
     """examples/s through FairGoTrainer._train_epoch in the finetune stage
     at ml-1M scale: one adversarial alternation epoch = filter pass
     (MSE − w·dis over graph-propagated discriminators) + discriminator
@@ -388,6 +388,7 @@ def bench_fairgo_finetune_epoch():
             "embedding_size": EMB,
             "n_layers": 2,
             "aggr_method": "LBA",
+            "propagation_dtype": propagation_dtype,
             "train_batch_size": 2048,
             "metrics": ["NDCG"],
             "topk": [10],
@@ -779,6 +780,8 @@ def main():
     adv_ex_s, adv_dt, adv_resident = bench_adversarial_epoch()
     _stage("fairgo finetune epoch (sparse propagation)")
     fairgo_ex_s, fairgo_dt = bench_fairgo_finetune_epoch()
+    _stage("fairgo finetune epoch (bf16 propagation)")
+    _, fairgo_bf16_dt = bench_fairgo_finetune_epoch("bfloat16")
     _stage("roofline probes + accounting")
     roofline = bench_roofline(epoch_s, dense_dt, uni100_dt)
     _stage("scale leg (2M-item catalog)")
@@ -807,6 +810,10 @@ def main():
         **adv_resident,
         "fairgo_finetune_epoch_examples_per_s": round(fairgo_ex_s, 1),
         "fairgo_finetune_epoch_s": round(fairgo_dt, 3),
+        # propagation_dtype: bfloat16 — the filter pass backprops through
+        # the dense [U+I, U+I] propagation matmuls (the one compute-bound
+        # path); bf16 operands at f32 accumulation (~1e-2 norm-relative)
+        "fairgo_finetune_epoch_s_bf16prop": round(fairgo_bf16_dt, 3),
         **epoch_disp,
         **eval_disp,
         **uni_disp,

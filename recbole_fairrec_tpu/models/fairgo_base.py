@@ -85,6 +85,19 @@ class FairGoBase(FairRecommender):
         self.dense_propagation = bool(
             n_nodes * n_nodes * 4 <= (2 << 30) if cfg_dense is None else cfg_dense
         )
+        # bf16 propagation operand (f32 accumulation): ~3× the f32 matmul
+        # rate on the MXU and half the operator's HBM footprint. The filter
+        # pass backprops through n_layers dense [n, n] matmuls per step —
+        # the framework's one genuinely compute-bound path (measured r5:
+        # 3.0 s/epoch at f32, ~38% of the f32 matmul peak). Opt-in: the
+        # normalized adjacency entries are O(1e-2) row-normalized weights,
+        # so bf16 perturbs propagated embeddings at
+        # ≲1e-2 norm-relative — fine for adversarial training, off for parity.
+        self.propagation_dtype = (
+            jnp.bfloat16
+            if (config["propagation_dtype"] or "float32") == "bfloat16"
+            else jnp.float32
+        )
 
     # ---------------------------------------------------------------- params
 
@@ -144,7 +157,8 @@ class FairGoBase(FairRecommender):
             n = self.n_users + self.n_items
             return {
                 "prop_dense": jnp.asarray(
-                    coo_to_dense(self.norm_rows, self.norm_cols, self.norm_vals, n)
+                    coo_to_dense(self.norm_rows, self.norm_cols, self.norm_vals, n),
+                    dtype=self.propagation_dtype,
                 )
             }
         return {}

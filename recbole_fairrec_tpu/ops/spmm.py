@@ -43,6 +43,13 @@ def propagate(x, rows, cols, vals, n, dense=None):
     compiler.
     """
     if dense is not None:
+        if dense.dtype == jnp.bfloat16:
+            # bf16 operands, f32 accumulation: ~3× the f32 MXU rate (the
+            # propagation_dtype opt-in; fairgo_base documents the numerics)
+            return jnp.dot(
+                dense, x.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
         return jnp.dot(dense, x, precision="highest")
     return spmm_coo(rows, cols, vals, x, n)
 

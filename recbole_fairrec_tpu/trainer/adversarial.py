@@ -405,9 +405,17 @@ class FairGoTrainer(Trainer):
                         )
                     break
 
-        with open(self.saved_pretrain_model_file, "rb") as f:
-            checkpoint = pickle.load(f)
-        self._load_params_from_checkpoint(checkpoint)
+        if os.path.isfile(self.saved_pretrain_model_file):
+            with open(self.saved_pretrain_model_file, "rb") as f:
+                checkpoint = pickle.load(f)
+            self._load_params_from_checkpoint(checkpoint)
+        else:
+            # pretrain(saved=False): the reference crashes torch.loading the
+            # never-saved best checkpoint here; continue on current params
+            self.logger.warning(
+                "pretrain ran with saved=False; finetuning from CURRENT "
+                "params, not best-valid."
+            )
         if self.config["save_sst_embed"]:
             self._save_sst_embed_direct(train_data, self.saved_pretrain_sst_file)
         return self.best_valid_score, self.best_valid_result

@@ -343,3 +343,25 @@ def test_streaming_eval_matches_dense_path(tiny_data_path, tmp_path):
     r_stream = run_recbole(model="PFCN_PMF", dataset="tiny", config_dict={
         **cfg, "checkpoint_dir": str(tmp_path / "b"), "streaming_eval": True})
     assert dict(r_dense["test_result"]["none"]) == dict(r_stream["test_result"]["none"])
+
+
+def test_propagate_bf16_operand_close_to_f32():
+    """propagation_dtype=bfloat16: bf16 operand + f32 accumulation must
+    track the exact f32 dense propagation to bf16 resolution (~1e-2 rel) —
+    the opt-in fast path for FairGo's compute-bound filter pass."""
+    from recbole_fairrec_tpu.ops.spmm import propagate
+
+    rng = np.random.RandomState(3)
+    n, d = 40, 8
+    A = (rng.rand(n, n) * (rng.rand(n, n) < 0.3)).astype(np.float32)
+    A /= np.maximum(A.sum(1, keepdims=True), 1e-7)  # row-normalized weights
+    x = rng.randn(n, d).astype(np.float32)
+    exact = propagate(jnp.asarray(x), None, None, None, n, dense=jnp.asarray(A))
+    fast = propagate(jnp.asarray(x), None, None, None, n,
+                     dense=jnp.asarray(A, dtype=jnp.bfloat16))
+    assert fast.dtype == jnp.float32  # f32 accumulation
+    # norm-relative: elementwise relative error is unbounded where A@x
+    # cancels to ~0; the meaningful scale is the propagated embedding norm
+    err = np.linalg.norm(np.asarray(fast) - np.asarray(exact))
+    ref = np.linalg.norm(np.asarray(exact))
+    assert err / ref < 1e-2, err / ref
