@@ -17,6 +17,10 @@ Reported fields (primary metric first; extras ride in the same JSON object):
 - raw jitted train-step examples/s (the round-1 kernel-level number).
 - Pallas fused top-k exactness + latency vs dense lax.top_k at
   B=1024 × I=65536 (regresses commit f7a8a0a's claim every round).
+- r5 additions: min/p50/max dispersion on the tunnel-exposed timings;
+  epoch-resident train + adversarial epochs (one dispatch per pass);
+  FairGo bf16-propagation variant; and the 2M-item scale leg (exact /
+  approx retrieval + dense-adam scale step) with measured-roofline ratios.
 
 Scale: 6,040 users / 3,629 items / 836,478 interactions
 (reference asset/time_test_result/General_recommendation.md:7).
