@@ -209,3 +209,24 @@ def test_hyper_tuning_adaptive_algos(algo):
     assert ht.best_score == pytest.approx(
         max(r["best_valid_score"] for r in ht.params2result.values())
     )
+
+
+def test_bench_module_imports_and_synthesizes():
+    """bench.py bitrot guard: the module (run by the driver on real TPU at
+    the end of every round) must import and its dataset synthesis, timing
+    helper, and chip-peak table must be sane without touching a device."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    data_path = bench._ensure_dataset()
+    ddir = os.path.join(data_path, bench.DS)
+    assert os.path.exists(os.path.join(ddir, f"{bench.DS}.inter"))
+    mn, p50, mx, n = bench._timed_stats(iter([3.0, 1.0, 2.0]).__next__, n=3)
+    assert (mn, p50, mx, n) == (1.0, 2.0, 3.0, 3)
+    assert "TPU v5 lite" in bench._CHIP_PEAKS
